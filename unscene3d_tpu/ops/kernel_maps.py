@@ -1,0 +1,178 @@
+"""Host-side kernel-map builder: the MinkowskiEngine coordinate-manager
+replacement.
+
+For each batch we build, once, on the host:
+  * per-level kernel-size-3 neighbor maps (output-centric: for every voxel and
+    every one of the 27 offsets, the index of the input voxel at that offset),
+  * stride-2 parent/child maps shared by strided convs, transposed convs and
+    AvgPooling (MinkowskiEngine generates these coords identically for
+    `conv(k=2,s=2)` / `conv_tr(k=2,s=2)` / `MinkowskiAvgPooling(k=2,s=2)`,
+    which the reference relies on in models/mask3d.py:205-216,429-436).
+
+A vectorized numpy implementation is provided here; `unscene3d_tpu.native`
+offers a C++ flat-hash implementation for the hot path with identical output.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from unscene3d_tpu.ops.hashing import CoordHashTable, ravel_hash
+from unscene3d_tpu.ops.sparse_graph import LevelGraph, SparseGraph, bucket_size
+
+# Offset orderings (dx, dy, dz), z fastest. For kernel_size=3 the center
+# (0,0,0) sits at index 13. Weight-layout converters from MinkowskiEngine
+# checkpoints must permute into this order.
+KERNEL3_OFFSETS = np.array(
+    list(itertools.product((-1, 0, 1), repeat=3)), dtype=np.int32
+)  # (27, 3)
+KERNEL2_OFFSETS = np.array(
+    list(itertools.product((0, 1), repeat=3)), dtype=np.int32
+)  # (8, 3); offset id = dx*4 + dy*2 + dz
+
+
+def build_neighbor_map(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Output-centric kernel-size-3 map.
+
+    coords: (N, 4) int [b, x, y, z] unit coords (no padding rows).
+    Returns (nbr_idx (27, N) int32, nbr_valid (27, N) bool): for voxel i and
+    offset k, the index of the voxel at coords[i] + offset[k] if present.
+    """
+    n = len(coords)
+    table = CoordHashTable(coords)
+    nbr_idx = np.zeros((27, n), dtype=np.int32)
+    nbr_valid = np.zeros((27, n), dtype=bool)
+    query = coords.astype(np.int64).copy()
+    for k, off in enumerate(KERNEL3_OFFSETS):
+        query[:, 1:] = coords[:, 1:] + off
+        idx, found = table.lookup(query)
+        nbr_idx[k] = np.where(found, idx, 0).astype(np.int32)
+        nbr_valid[k] = found
+    return nbr_idx, nbr_valid
+
+
+def build_downsample_map(
+    coords: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stride-2 (kernel_size=2) downsample topology.
+
+    coords: (N, 4) unit coords at the fine level.
+    Returns:
+      coarse_coords: (M, 4) unique floor(coords/2) (sorted-key order)
+      parent_idx:    (N,) index of each fine voxel's coarse parent
+      parent_offset: (N,) kernel offset id in [0, 8)
+      child_idx:     (8, M) fine index of each coarse voxel's child per offset
+      child_valid:   (8, M)
+    """
+    coords = np.asarray(coords, dtype=np.int64)
+    parents = coords.copy()
+    parents[:, 1:] >>= 1  # arithmetic shift == floor division
+    keys = ravel_hash(parents)
+    _, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    coarse_coords = parents[first_idx].astype(np.int32)
+    m = len(first_idx)
+    off = (
+        (coords[:, 1] & 1) * 4 + (coords[:, 2] & 1) * 2 + (coords[:, 3] & 1)
+    ).astype(np.int32)
+    child_idx = np.zeros((8, m), dtype=np.int32)
+    child_valid = np.zeros((8, m), dtype=bool)
+    child_idx[off, inverse] = np.arange(len(coords), dtype=np.int32)
+    child_valid[off, inverse] = True
+    return (
+        coarse_coords,
+        inverse.astype(np.int32),
+        off,
+        child_idx,
+        child_valid,
+    )
+
+
+def _pad_level(
+    coords: np.ndarray,
+    nbr_idx: np.ndarray,
+    nbr_valid: np.ndarray,
+    child_idx: np.ndarray,
+    child_valid: np.ndarray,
+    parent_idx: np.ndarray,
+    parent_offset: np.ndarray,
+    n_pad: int,
+) -> LevelGraph:
+    n = len(coords)
+    assert n_pad >= n
+
+    def pad2(a, fill=0):
+        out = np.full((a.shape[0], n_pad), fill, dtype=a.dtype)
+        out[:, :n] = a
+        return out
+
+    coords_p = np.zeros((n_pad, 4), dtype=np.int32)
+    coords_p[:n] = coords
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    parent_idx_p = np.zeros(n_pad, dtype=np.int32)
+    parent_idx_p[:n] = parent_idx
+    parent_off_p = np.zeros(n_pad, dtype=np.int32)
+    parent_off_p[:n] = parent_offset
+    return LevelGraph(
+        coords=coords_p,
+        valid=valid,
+        nbr_idx=pad2(nbr_idx),
+        nbr_valid=pad2(nbr_valid),
+        child_idx=pad2(child_idx),
+        child_valid=pad2(child_valid),
+        parent_idx=parent_idx_p,
+        parent_offset=parent_off_p,
+    )
+
+
+def build_sparse_graph(
+    coords: np.ndarray,
+    num_levels: int = 5,
+    pad_sizes: list[int] | None = None,
+    build_nbr_maps: bool = True,
+) -> SparseGraph:
+    """Build the full multi-level topology for one collated batch.
+
+    coords: (N, 4) int [batch, x, y, z] voxel coords at stride 1 (unpadded).
+    pad_sizes: optional explicit per-level padded sizes; defaults to
+      `bucket_size` of each level's voxel count.
+    build_nbr_maps: skip the (more expensive) k3 maps when only pooling
+      topology is needed.
+    """
+    coords = np.asarray(coords, dtype=np.int64)
+    level_coords = [coords]
+    parent_idxs, parent_offs, child_idxs, child_valids = [], [], [], []
+    for _ in range(num_levels - 1):
+        coarse, p_idx, p_off, c_idx, c_valid = build_downsample_map(level_coords[-1])
+        level_coords.append(coarse.astype(np.int64))
+        parent_idxs.append(p_idx)
+        parent_offs.append(p_off)
+        child_idxs.append(c_idx)
+        child_valids.append(c_valid)
+
+    levels = []
+    for li in range(num_levels):
+        lc = level_coords[li].astype(np.int32)
+        n = len(lc)
+        n_pad = pad_sizes[li] if pad_sizes is not None else bucket_size(n + 1)
+        if build_nbr_maps:
+            nbr_idx, nbr_valid = build_neighbor_map(lc)
+        else:
+            nbr_idx = np.zeros((27, n), dtype=np.int32)
+            nbr_valid = np.zeros((27, n), dtype=bool)
+        if li == 0:
+            c_idx = np.zeros((8, n), dtype=np.int32)
+            c_valid = np.zeros((8, n), dtype=bool)
+        else:
+            c_idx, c_valid = child_idxs[li - 1], child_valids[li - 1]
+        if li == num_levels - 1:
+            p_idx = np.zeros(n, dtype=np.int32)
+            p_off = np.zeros(n, dtype=np.int32)
+        else:
+            p_idx, p_off = parent_idxs[li], parent_offs[li]
+        levels.append(
+            _pad_level(lc, nbr_idx, nbr_valid, c_idx, c_valid, p_idx, p_off, n_pad)
+        )
+    return SparseGraph(levels=tuple(levels))

@@ -1,0 +1,80 @@
+"""Static sparse-topology containers for the TPU sparse-conv engine.
+
+MinkowskiEngine (the reference's sparse-conv runtime, models/res16unet.py) builds
+coordinate hash maps dynamically on device at every layer. On TPU everything
+under jit must be static-shaped, so we precompute the full multi-level topology
+of a batch once on the host (numpy / C++), pad every level to a bucketed size,
+and ship it to the device as one pytree. All convolutions then become
+gather + GEMM with no data-dependent shapes.
+
+Levels: 0 = stride 1 (full res) ... 4 = stride 16, matching the reference
+Res16UNet's 4-down/4-up layout (models/res16unet.py:224-297).
+"""
+
+from __future__ import annotations
+
+from flax import struct
+import jax.numpy as jnp
+
+
+@struct.dataclass
+class LevelGraph:
+    """Topology of one resolution level, padded to a static size N.
+
+    coords are "unit coords": original voxel coords integer-divided by the
+    level stride, so +-1 neighbor offsets at any level address the same
+    relative positions MinkowskiEngine's tensor_stride-scaled kernels do.
+    """
+
+    coords: jnp.ndarray        # (N, 4) int32 [batch, x, y, z] unit coords
+    valid: jnp.ndarray         # (N,) bool
+    # kernel-size-3 neighborhood (27 offsets, z fastest, center at 13)
+    nbr_idx: jnp.ndarray       # (27, N) int32 index into this level
+    nbr_valid: jnp.ndarray     # (27, N) bool
+    # stride-2 downsample topology (kernel_size=2, stride=2 semantics)
+    # children of each voxel at this level in the PREVIOUS (finer) level;
+    # zeros at level 0.
+    child_idx: jnp.ndarray     # (8, N) int32 index into finer level
+    child_valid: jnp.ndarray   # (8, N) bool
+    # parent of each voxel at this level in the NEXT (coarser) level;
+    # zeros at the coarsest level.
+    parent_idx: jnp.ndarray    # (N,) int32 index into coarser level
+    parent_offset: jnp.ndarray  # (N,) int32 in [0, 8) = kernel offset id
+
+    @property
+    def num_padded(self) -> int:
+        return self.coords.shape[0]
+
+
+@struct.dataclass
+class SparseGraph:
+    """Full multi-level topology of one collated batch."""
+
+    levels: tuple[LevelGraph, ...]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+def bucket_size(n: int, align: int = 128, min_size: int = 256) -> int:
+    """Round n up to a coarse geometric bucket to bound XLA recompiles.
+
+    Buckets are {1, 1.25, 1.5, 1.75} * 2^k, aligned to `align`.
+    """
+    n = max(int(n), 1)
+    target = max(n, min_size)
+    p = 1
+    while p < target:
+        p <<= 1
+    if p == target:
+        size = p
+    else:
+        half = p >> 1
+        size = p
+        for frac in (1.25, 1.5, 1.75):
+            cand = int(half * frac)
+            if cand >= target:
+                size = cand
+                break
+    return ((size + align - 1) // align) * align
