@@ -1,0 +1,164 @@
+"""Host-side voxelization + collation into static-shaped SceneBatch pytrees.
+
+Mirrors the reference's FreeMaskVoxelizeCollate / freemask_voxelize
+(datasets/utils.py:181-478): floor-divide coords by voxel size, deduplicate,
+batch with batch indices, relabel segment ids to consecutive local ids, and
+build per-instance targets (voxel masks + segment masks + labels). On top of
+that we build everything the TPU engine needs statically: the multi-level
+SparseGraph, per-level per-scene gather tables, and bucketed padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from unscene3d_tpu.data.batch import SceneBatch, Targets
+from unscene3d_tpu.ops.hashing import sparse_quantize
+from unscene3d_tpu.ops.kernel_maps import build_sparse_graph
+from unscene3d_tpu.ops.sparse_graph import bucket_size
+
+
+@dataclasses.dataclass
+class CollateMeta:
+    """Host-only per-scene metadata for full-res eval / export."""
+
+    scene_names: list
+    inverse_maps: list        # (P_b,) voxel index per original point
+    full_res_coords: list     # (P_b, 3) raw xyz
+    original_masks: list      # (P_b, K_b) or None
+    original_labels: list
+    original_colors: list
+    num_voxels: list
+    segment_connectivity: list
+
+
+def _relabel(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    uniq, inv = np.unique(ids, return_inverse=True)
+    return inv.astype(np.int32), uniq
+
+
+class FreeMaskCollator:
+    """Collate a list of scene dicts into (SceneBatch, CollateMeta).
+
+    Scene dict keys:
+      xyz (P,3) float32, features (P,C) float32, segments (P,) int,
+      masks (P,K) bool freemask instances, optional labels (P,),
+      optional segment_connectivity (E,2), optional name.
+    """
+
+    def __init__(self, voxel_size: float = 0.02, num_levels: int = 5,
+                 target_align: int = 8, seg_align: int = 64):
+        self.voxel_size = voxel_size
+        self.num_levels = num_levels
+        self.target_align = target_align
+        self.seg_align = seg_align
+
+    def __call__(self, scenes: list[dict]) -> tuple[SceneBatch, CollateMeta]:
+        B = len(scenes)
+        per_scene = []
+        meta = CollateMeta([], [], [], [], [], [], [], [])
+        for b, s in enumerate(scenes):
+            xyz = np.asarray(s["xyz"], np.float32)
+            vox_coords, unique_map, inverse_map = sparse_quantize(xyz, self.voxel_size)
+            feats = np.asarray(s["features"], np.float32)[unique_map]
+            raw = xyz[unique_map]
+            seg, _ = _relabel(np.asarray(s["segments"])[unique_map])
+            masks = s.get("masks")
+            masks_v = None
+            if masks is not None:
+                masks_v = np.asarray(masks, bool)[unique_map]
+                keep = masks_v.sum(0) > 0  # drop instances emptied by voxelization
+                masks_v = masks_v[:, keep]
+            per_scene.append(dict(coords=vox_coords, feats=feats, raw=raw,
+                                  seg=seg, masks=masks_v))
+            meta.scene_names.append(s.get("name", f"scene{b:04d}"))
+            meta.inverse_maps.append(inverse_map)
+            meta.full_res_coords.append(xyz)
+            meta.original_masks.append(masks)
+            meta.original_labels.append(s.get("labels"))
+            meta.original_colors.append(s.get("colors"))
+            meta.num_voxels.append(len(vox_coords))
+            meta.segment_connectivity.append(s.get("segment_connectivity"))
+
+        coords_all = np.concatenate(
+            [np.column_stack([np.full(len(p["coords"]), b, np.int32), p["coords"]])
+             for b, p in enumerate(per_scene)]
+        )
+        graph = build_sparse_graph(coords_all, num_levels=self.num_levels)
+        n0_pad = graph.levels[0].num_padded
+
+        c_in = per_scene[0]["feats"].shape[1]
+        features = np.zeros((n0_pad, c_in), np.float32)
+        raw_coords = np.zeros((n0_pad, 3), np.float32)
+        point2segment = np.zeros(n0_pad, np.int32)
+        offset = 0
+        scene_ranges = []
+        for p in per_scene:
+            n = len(p["coords"])
+            features[offset:offset + n] = p["feats"]
+            raw_coords[offset:offset + n] = p["raw"]
+            point2segment[offset:offset + n] = p["seg"]
+            scene_ranges.append((offset, n))
+            offset += n
+
+        # per-level scene gather tables
+        scene_idx, scene_valid = [], []
+        for lv in range(self.num_levels):
+            lvl = graph.levels[lv]
+            bidx = np.asarray(lvl.coords[:, 0])
+            valid = np.asarray(lvl.valid)
+            n_pad_l = lvl.num_padded
+            counts = [int(((bidx == b) & valid).sum()) for b in range(B)]
+            n_max = bucket_size(max(counts) + 1, align=64, min_size=64)
+            idx_tbl = np.full((B, n_max), n_pad_l - 1, np.int32)  # padded row
+            val_tbl = np.zeros((B, n_max), bool)
+            for b in range(B):
+                rows = np.nonzero((bidx == b) & valid)[0]
+                idx_tbl[b, : len(rows)] = rows
+                val_tbl[b, : len(rows)] = True
+            scene_idx.append(idx_tbl)
+            scene_valid.append(val_tbl)
+
+        # segments
+        s_counts = [int(p["seg"].max()) + 1 if len(p["seg"]) else 0 for p in per_scene]
+        s_max = bucket_size(max(s_counts) + 1, align=self.seg_align, min_size=self.seg_align)
+        seg_valid = np.zeros((B, s_max), bool)
+        for b, c in enumerate(s_counts):
+            seg_valid[b, :c] = True
+
+        # targets
+        target = None
+        if per_scene[0]["masks"] is not None:
+            t_counts = [p["masks"].shape[1] for p in per_scene]
+            t_max = bucket_size(max(t_counts + [1]), align=self.target_align,
+                                min_size=self.target_align)
+            labels = np.zeros((B, t_max), np.int32)
+            t_valid = np.zeros((B, t_max), bool)
+            seg_masks = np.zeros((B, t_max, s_max), bool)
+            vox_masks = np.zeros((n0_pad, t_max), bool)
+            for b, p in enumerate(per_scene):
+                off, n = scene_ranges[b]
+                k = p["masks"].shape[1]
+                labels[b, :k] = 1  # freemask: single 'foreground' class
+                t_valid[b, :k] = True
+                vox_masks[off:off + n, :k] = p["masks"]
+                for t in range(k):
+                    segs = np.unique(p["seg"][p["masks"][:, t]])
+                    seg_masks[b, t, segs] = True
+            target = Targets(labels=labels, valid=t_valid, seg_masks=seg_masks,
+                             vox_masks=vox_masks)
+
+        batch = SceneBatch(
+            graph=graph,
+            features=features,
+            raw_coords=raw_coords,
+            point2segment=point2segment,
+            seg_valid=seg_valid,
+            scene_idx=tuple(scene_idx),
+            scene_valid=tuple(scene_valid),
+            target=target,
+        )
+        return batch, meta

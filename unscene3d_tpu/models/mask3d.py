@@ -1,0 +1,275 @@
+"""Mask3D: sparse UNet backbone + DETR-style iterative mask transformer.
+
+TPU-native re-design of the reference decoder (models/mask3d.py:16-446):
+  * ragged per-scene decomposition -> static (B, n_max) gather tables
+  * per-(decoder,level) GPU randperm point subsampling -> masked uniform-score
+    top_k on device (same semantics: sample without replacement, pad+mask when
+    a scene is smaller than the sample size, models/mask3d.py:295-346)
+  * torch MultiheadAttention with repeated head masks -> fused masked MHA
+  * torch_scatter segment pooling -> deterministic segment_mean/max
+  * CUDA FPS -> jit lax.fori_loop FPS (ops/fps.py)
+
+Shapes: Q = num_queries, S = padded segments per scene, C = num classes,
+L = num_decoders * len(hlevels) + 1 prediction sets (13 for the flagship).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unscene3d_tpu.data.batch import SceneBatch
+from unscene3d_tpu.models.position_embedding import PositionEmbeddingCoordsSine
+from unscene3d_tpu.models.transformer_layers import (
+    CrossAttentionLayer,
+    FFNLayer,
+    SelfAttentionLayer,
+)
+from unscene3d_tpu.ops import conv_ops
+from unscene3d_tpu.ops.fps import furthest_point_sample_batch
+from unscene3d_tpu.ops.segment_ops import segment_max, segment_mean
+
+
+def per_scene_min_max(x, batch_idx, valid, num_scenes):
+    """Per-scene min/max over valid rows of a flat (N, D) array."""
+    mx = segment_max(x, batch_idx, num_scenes, valid)
+    mn = -segment_max(-x, batch_idx, num_scenes, valid)
+    return mn, mx
+
+
+class Mask3D(nn.Module):
+    backbone: nn.Module
+    num_classes: int = 2
+    hidden_dim: int = 128
+    num_queries: int = 100
+    num_heads: int = 8
+    dim_feedforward: int = 1024
+    num_decoders: int = 3
+    shared_decoder: bool = True
+    hlevels: tuple = (0, 1, 2, 3)
+    sample_sizes: tuple = (200, 800, 3200, 12800, 51200)
+    max_sample_size: bool = False
+    non_parametric_queries: bool = True
+    train_on_segments: bool = True
+    normalize_pos_enc: bool = True
+    use_level_embed: bool = False
+    scatter_type: str = "mean"
+    gauss_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        D = self.hidden_dim
+        self.pos_enc = PositionEmbeddingCoordsSine(
+            d_pos=D, gauss_scale=self.gauss_scale, normalize=self.normalize_pos_enc,
+            dtype=self.dtype,
+        )
+        if self.non_parametric_queries:
+            # GenericMLP(query_projection): Lin->ReLU->Lin->ReLU (helpers_3detr.py:45)
+            self.query_projection = [nn.Dense(D, name=f"query_proj_{i}") for i in range(2)]
+        else:
+            self.query_feat = self.param(
+                "query_feat", nn.initializers.normal(1.0), (self.num_queries, D)
+            )
+            self.query_pos_embed = self.param(
+                "query_pos", nn.initializers.normal(1.0), (self.num_queries, D)
+            )
+        if self.use_level_embed:
+            self.level_embed = self.param(
+                "level_embed", nn.initializers.normal(1.0), (len(self.hlevels), D)
+            )
+        self.mask_features_head = nn.Dense(D, name="mask_features_head")
+        self.mask_embed_head = [nn.Dense(D, name=f"mask_embed_{i}") for i in range(2)]
+        self.class_embed_head = nn.Dense(self.num_classes, name="class_embed_head")
+        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+
+        n_sets = 1 if self.shared_decoder else self.num_decoders
+        self.cross_attention = [
+            [CrossAttentionLayer(D, self.num_heads, dtype=self.dtype,
+                                 name=f"cross_{d}_{i}") for i in range(len(self.hlevels))]
+            for d in range(n_sets)
+        ]
+        self.self_attention = [
+            [SelfAttentionLayer(D, self.num_heads, dtype=self.dtype,
+                                name=f"self_{d}_{i}") for i in range(len(self.hlevels))]
+            for d in range(n_sets)
+        ]
+        self.ffn = [
+            [FFNLayer(D, self.dim_feedforward, dtype=self.dtype,
+                      name=f"ffn_{d}_{i}") for i in range(len(self.hlevels))]
+            for d in range(n_sets)
+        ]
+        self.lin_squeeze = [
+            [nn.Dense(D, name=f"squeeze_{d}_{i}") for i in range(len(self.hlevels))]
+            for d in range(n_sets)
+        ]
+
+    def _segment_pool(self, x, seg_flat, num_segments, valid):
+        if self.scatter_type == "mean":
+            return segment_mean(x, seg_flat, num_segments, valid)
+        return segment_max(x, seg_flat, num_segments, valid)
+
+    def _mask_module(self, queries, mask_segments, batch, attn_target_level):
+        """Returns (class logits (B,Q,C), segment mask logits (B,S,Q),
+        voxel mask logits (N0,Q), pooled block-mask at attn_target_level or None)."""
+        B = batch.batch_size
+        S = batch.num_segments_padded
+        q = self.decoder_norm(queries)
+        me = q
+        for li, layer in enumerate(self.mask_embed_head):
+            me = layer(me)
+            if li == 0:
+                me = nn.relu(me)
+        outputs_class = self.class_embed_head(q)
+        seg_logits = jnp.einsum("bsd,bqd->bsq", mask_segments, me)
+        seg_logits = seg_logits * batch.seg_valid[..., None].astype(seg_logits.dtype)
+        # broadcast segment logits to voxels
+        seg_flat = batch.batch_idx * S + batch.point2segment
+        vox_logits = jnp.take(
+            seg_logits.reshape(B * S, -1), seg_flat, axis=0
+        ) * batch.valid[:, None].astype(seg_logits.dtype)
+
+        block_mask = None
+        if attn_target_level is not None:
+            pooled = vox_logits
+            for lv in range(1, attn_target_level + 1):
+                pooled = conv_ops.avg_pool2(pooled, batch.graph.levels[lv])
+            block_mask = jax.nn.sigmoid(jax.lax.stop_gradient(pooled)) < 0.5  # (N_g, Q)
+        return outputs_class, seg_logits, vox_logits, block_mask
+
+    def __call__(self, batch: SceneBatch, train: bool = False, is_eval: bool = False,
+                 return_aux_vox: bool = False):
+        """return_aux_vox: also stack voxel-level mask logits for every aux
+        prediction set (needed only by the noise-robust tri-plane loss, which
+        the reference computes per aux output, models/criterion.py:170-179);
+        costs L x N0 x Q memory, so off by default."""
+        B = batch.batch_size
+        S = batch.num_segments_padded
+        Q = self.num_queries
+        D = self.hidden_dim
+        L0 = batch.graph.levels[0]
+
+        pcd_features, fpn, _final = self.backbone(batch.features, batch.graph, train=train)
+
+        # ---- coords pyramid by repeated AvgPooling of raw coords (ref :205-216)
+        coords_by_level = [batch.raw_coords]
+        for lv in range(1, 5):
+            coords_by_level.append(
+                conv_ops.avg_pool2(coords_by_level[-1], batch.graph.levels[lv])
+            )
+
+        # ---- per-level positional encodings on flat voxels (ref :183-198)
+        pe_by_level = []
+        for lv in range(5):
+            lvl = batch.graph.levels[lv]
+            bidx = lvl.coords[:, 0]
+            mn, mx = per_scene_min_max(coords_by_level[lv], bidx, lvl.valid, B)
+            pe = self.pos_enc(
+                coords_by_level[lv][None],  # (1, N, 3)
+                jnp.take(mn, bidx, axis=0)[None],
+                jnp.take(mx, bidx, axis=0)[None],
+            )[0]
+            pe_by_level.append(pe * lvl.valid[:, None].astype(pe.dtype))
+
+        # ---- mask features + segment pooling (ref :218-223)
+        mask_features = self.mask_features_head(pcd_features)
+        mask_features = mask_features * L0.valid[:, None].astype(mask_features.dtype)
+        seg_flat = batch.batch_idx * S + batch.point2segment
+        mask_segments = self._segment_pool(
+            mask_features, seg_flat, B * S, L0.valid
+        ).reshape(B, S, D)
+
+        # ---- query init (ref :227-266)
+        if self.non_parametric_queries:
+            vox_xyz = jnp.take(
+                L0.coords[:, 1:].astype(jnp.float32), batch.scene_idx[0], axis=0
+            )  # (B, n0, 3)
+            fps_idx = furthest_point_sample_batch(vox_xyz, batch.scene_valid[0], Q)
+            raw_by_scene = jnp.take(batch.raw_coords, batch.scene_idx[0], axis=0)
+            sampled_coords = jnp.take_along_axis(
+                raw_by_scene, fps_idx[..., None], axis=1
+            )  # (B, Q, 3)
+            mn, mx = per_scene_min_max(batch.raw_coords, batch.batch_idx, L0.valid, B)
+            query_pos = self.pos_enc(sampled_coords, mn[:, None], mx[:, None])
+            for li, layer in enumerate(self.query_projection):
+                query_pos = nn.relu(layer(query_pos))
+            queries = jnp.zeros_like(query_pos)
+        else:
+            queries = jnp.tile(self.query_feat[None], (B, 1, 1))
+            query_pos = jnp.tile(self.query_pos_embed[None], (B, 1, 1))
+            sampled_coords = None
+
+        predictions_class = []
+        predictions_seg = []
+        predictions_vox = []
+
+        num_levels = len(self.hlevels)
+        for d in range(self.num_decoders):
+            dd = 0 if self.shared_decoder else d
+            for i, hlevel in enumerate(self.hlevels):
+                glevel = 4 - hlevel  # graph level of aux[hlevel]
+                out_class, seg_logits, vox_logits, block_mask = self._mask_module(
+                    queries, mask_segments, batch, attn_target_level=glevel
+                )
+                predictions_class.append(out_class)
+                predictions_seg.append(seg_logits)
+                if return_aux_vox:
+                    predictions_vox.append(vox_logits)
+
+                lvl = batch.graph.levels[glevel]
+                scene_idx = batch.scene_idx[glevel]
+                scene_valid = batch.scene_valid[glevel]
+                n_max = scene_idx.shape[1]
+
+                if self.max_sample_size or is_eval or n_max <= self.sample_sizes[hlevel]:
+                    sel_flat, sel_valid = scene_idx, scene_valid
+                else:
+                    P = self.sample_sizes[hlevel]
+                    rng = self.make_rng("sample")
+                    scores = jax.random.uniform(rng, (B, n_max))
+                    scores = jnp.where(scene_valid, scores, -jnp.inf)
+                    _, sel_cols = jax.lax.top_k(scores, P)
+                    sel_flat = jnp.take_along_axis(scene_idx, sel_cols, axis=1)
+                    sel_valid = jnp.take_along_axis(scene_valid, sel_cols, axis=1)
+
+                feats = fpn[hlevel]
+                batched_aux = jnp.take(feats, sel_flat, axis=0)        # (B, P, C)
+                batched_pe = jnp.take(pe_by_level[glevel], sel_flat, axis=0)
+                blocked = jnp.take(block_mask, sel_flat, axis=0)       # (B, P, Q)
+
+                # un-mask queries that mask out every sampled point (ref :346)
+                all_blocked = blocked.sum(axis=1) == blocked.shape[1]  # (B, Q)
+                blocked = jnp.where(all_blocked[:, None, :], False, blocked)
+                # padding: never attend to invalid sampled points (ref :348-349)
+                blocked = jnp.logical_or(blocked, ~sel_valid[..., None])
+
+                src = self.lin_squeeze[dd][i](batched_aux.astype(self.dtype))
+                if self.use_level_embed:
+                    src = src + self.level_embed[i]
+
+                attn_block = jnp.swapaxes(blocked, 1, 2)  # (B, Q, P)
+                queries = self.cross_attention[dd][i](
+                    queries, src, block_mask=attn_block, pos=batched_pe,
+                    query_pos=query_pos,
+                )
+                queries = self.self_attention[dd][i](queries, query_pos=query_pos)
+                queries = self.ffn[dd][i](queries)
+
+        out_class, seg_logits, vox_logits, _ = self._mask_module(
+            queries, mask_segments, batch, attn_target_level=None
+        )
+        predictions_class.append(out_class)
+        predictions_seg.append(seg_logits)
+        predictions_vox.append(vox_logits)
+
+        return {
+            "pred_logits": jnp.stack(predictions_class),  # (L, B, Q, C)
+            "pred_masks_seg": jnp.stack(predictions_seg),  # (L, B, S, Q)
+            # (L, N0, Q) if return_aux_vox else (1, N0, Q) -- final set only
+            "pred_masks_vox": jnp.stack(predictions_vox),
+            "sampled_coords": sampled_coords,
+            "backbone_features": pcd_features,
+            "mask_features": mask_features,
+        }

@@ -1,0 +1,133 @@
+"""Flax modules wrapping the sparse-conv primitives.
+
+Parameter layouts:
+  * k3 convs:  (27, Cin, Cout), offsets ordered per KERNEL3_OFFSETS
+  * k2 convs:  (8, Cin, Cout), offsets per KERNEL2_OFFSETS
+  * k1 convs:  (Cin, Cout)
+Checkpoint converters from MinkowskiEngine (torch) permute kernel axes into
+these orders.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unscene3d_tpu.ops import conv_ops
+from unscene3d_tpu.ops.sparse_graph import LevelGraph
+
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class SparseConv(nn.Module):
+    """Sparse convolution; `kind` selects topology.
+
+    kind: 'k3' (3x3x3 s1), 'k1' (1x1x1), 'down2' (k2 s2), 'up2' (k2 transpose s2).
+    For 'down2' pass the coarse LevelGraph; for 'up2' pass the fine LevelGraph.
+    """
+
+    out_channels: int
+    kind: str = "k3"
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, level: LevelGraph) -> jnp.ndarray:
+        cin = x.shape[-1]
+        cout = self.out_channels
+        bias = (
+            self.param("bias", nn.initializers.zeros, (cout,))
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        if self.kind == "k3":
+            w = self.param("kernel", _conv_init, (27, cin, cout))
+            return conv_ops.sparse_conv3(x, w.astype(self.dtype), level, bias)
+        if self.kind == "k1":
+            w = self.param("kernel", _conv_init, (cin, cout))
+            return conv_ops.sparse_conv1(x, w.astype(self.dtype), level, bias)
+        if self.kind == "down2":
+            w = self.param("kernel", _conv_init, (8, cin, cout))
+            return conv_ops.sparse_conv_down2(x, w.astype(self.dtype), level, bias)
+        if self.kind == "up2":
+            w = self.param("kernel", _conv_init, (8, cin, cout))
+            return conv_ops.sparse_conv_up2(x, w.astype(self.dtype), level, bias)
+        raise ValueError(f"unknown conv kind {self.kind!r}")
+
+
+class SparseBatchNorm(nn.Module):
+    """BatchNorm over valid voxels only (padding rows excluded from stats).
+
+    Matches torch BatchNorm1d semantics: biased variance for normalization,
+    unbiased for the running estimate; torch momentum m maps to
+    running = (1-m)*running + m*batch. Reference uses bn_momentum=0.02
+    (conf/model/mask3d.yaml backbone config).
+    """
+
+    momentum: float = 0.02  # torch-style momentum
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, train: bool) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if train:
+            w = valid.astype(jnp.float32)
+            cnt = jnp.maximum(w.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * w[:, None]).sum(0) / cnt
+            var = (jnp.square(xf - mean) * w[:, None]).sum(0) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        y = y * valid[:, None].astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class BasicBlock(nn.Module):
+    """Residual basic block (reference models/modules/resnet_block.py:7-64)."""
+
+    planes: int
+    bn_momentum: float = 0.02
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, level: LevelGraph, train: bool) -> jnp.ndarray:
+        residual = x
+        out = SparseConv(self.planes, "k3", dtype=self.dtype, name="conv1")(x, level)
+        out = SparseBatchNorm(self.bn_momentum, dtype=self.dtype, name="norm1")(
+            out, level.valid, train
+        )
+        out = nn.relu(out)
+        out = SparseConv(self.planes, "k3", dtype=self.dtype, name="conv2")(out, level)
+        out = SparseBatchNorm(self.bn_momentum, dtype=self.dtype, name="norm2")(
+            out, level.valid, train
+        )
+        if x.shape[-1] != self.planes:
+            residual = SparseConv(self.planes, "k1", dtype=self.dtype, name="downsample_conv")(
+                x, level
+            )
+            residual = SparseBatchNorm(
+                self.bn_momentum, dtype=self.dtype, name="downsample_norm"
+            )(residual, level.valid, train)
+        return nn.relu(out + residual)

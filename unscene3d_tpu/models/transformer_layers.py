@@ -1,0 +1,82 @@
+"""Transformer layers for the mask decoder (reference models/mask3d.py:491-652).
+
+Post-norm variants (the reference runs pre_norm=false, conf/model/mask3d.yaml)
+with dropout elided (reference dropout: 0.0).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MultiheadAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, block_mask=None):
+        """q: (B, Q, D), k/v: (B, P, D), block_mask: (B, Q, P) True = do NOT attend."""
+        d_head = self.d_model // self.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            (self.num_heads, d_head), dtype=self.dtype, name=name
+        )
+        qh = dense("q_proj")(q)
+        kh = dense("k_proj")(k)
+        vh = dense("v_proj")(v)
+        logits = jnp.einsum("bqhd,bphd->bhqp", qh, kh) / jnp.sqrt(
+            jnp.asarray(d_head, jnp.float32)
+        ).astype(self.dtype)
+        if block_mask is not None:
+            neg = jnp.asarray(jnp.finfo(jnp.float32).min / 2, logits.dtype)
+            logits = jnp.where(block_mask[:, None, :, :], neg, logits)
+        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqp,bphd->bqhd", attn, vh)
+        return nn.DenseGeneral(
+            self.d_model, axis=(-2, -1), dtype=self.dtype, name="out_proj"
+        )(out)
+
+
+class CrossAttentionLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, block_mask=None, pos=None, query_pos=None):
+        q = tgt if query_pos is None else tgt + query_pos
+        k = memory if pos is None else memory + pos
+        tgt2 = MultiheadAttention(self.d_model, self.num_heads, dtype=self.dtype)(
+            q, k, memory, block_mask
+        )
+        return nn.LayerNorm(dtype=self.dtype)(tgt + tgt2)
+
+
+class SelfAttentionLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos=None):
+        q = tgt if query_pos is None else tgt + query_pos
+        tgt2 = MultiheadAttention(self.d_model, self.num_heads, dtype=self.dtype)(
+            q, q, tgt
+        )
+        return nn.LayerNorm(dtype=self.dtype)(tgt + tgt2)
+
+
+class FFNLayer(nn.Module):
+    d_model: int
+    dim_feedforward: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt):
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(tgt)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+        return nn.LayerNorm(dtype=self.dtype)(tgt + h)
