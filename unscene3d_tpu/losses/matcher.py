@@ -1,0 +1,114 @@
+"""Hungarian matcher: on-device cost matrices, one host LSAP callback per step.
+
+Reference (models/matcher.py:67-201) loops scenes on GPU and calls scipy per
+scene per aux output (13 x B CPU round-trips per step). Here all L x B cost
+matrices are computed batched on device in one shot and solved in a single
+`jax.pure_callback` (the matrices are tiny: Q x T), so the device pipeline
+stalls once per step, not 13B times. Costs match the reference exactly:
+  C = cost_mask * BCE + cost_class * (-prob[target]) + cost_dice * dice
+with padded target columns pushed to a huge constant so LSAP never prefers
+them; pairs matched to padding are dropped afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from unscene3d_tpu.data.batch import Targets
+
+_BIG = 1e8
+
+
+@struct.dataclass
+class HungarianMatcher:
+    cost_class: float = 2.0
+    cost_mask: float = 5.0
+    cost_dice: float = 2.0
+    num_points: int = -1  # -1 = use all points (reference default)
+    ignore_label: int = 253
+
+    def cost_matrix(
+        self,
+        pred_logits: jnp.ndarray,   # (..., Q, C)
+        pred_masks: jnp.ndarray,    # (..., M, Q)  mask logits over M columns
+        tgt_labels: jnp.ndarray,    # (..., T)
+        tgt_masks: jnp.ndarray,     # (..., T, M) float {0,1}
+        tgt_valid: jnp.ndarray,     # (..., T)
+        col_valid: jnp.ndarray,     # (..., M) valid mask columns (segments/voxels)
+    ) -> jnp.ndarray:
+        out_prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+        ignore = tgt_labels == self.ignore_label
+        ids = jnp.where(ignore, 0, tgt_labels)
+        cost_class = -jnp.take_along_axis(
+            out_prob, ids[..., None, :], axis=-1
+        )  # (..., Q, T)
+        cost_class = jnp.where(ignore[..., None, :], -1.0, cost_class)
+
+        x = pred_masks.astype(jnp.float32)          # (..., M, Q)
+        t = tgt_masks.astype(jnp.float32)           # (..., T, M)
+        w = col_valid.astype(jnp.float32)           # (..., M)
+        pos = jax.nn.softplus(-x) * w[..., None]    # BCE(x, 1)
+        neg = jax.nn.softplus(x) * w[..., None]     # BCE(x, 0)
+        n_cols = jnp.maximum(w.sum(-1), 1.0)
+        cost_bce = (
+            jnp.einsum("...mq,...tm->...qt", pos, t)
+            + jnp.einsum("...mq,...tm->...qt", neg, (1.0 - t) * w[..., None, :])
+        ) / n_cols[..., None, None]
+
+        sig = jax.nn.sigmoid(x) * w[..., None]
+        numerator = 2.0 * jnp.einsum("...mq,...tm->...qt", sig, t)
+        denominator = sig.sum(-2)[..., :, None] + (t * w[..., None, :]).sum(-1)[..., None, :]
+        cost_dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+
+        cost = (
+            self.cost_mask * cost_bce
+            + self.cost_class * cost_class
+            + self.cost_dice * cost_dice
+        )
+        return jnp.where(tgt_valid[..., None, :], cost, _BIG)
+
+    def __call__(self, pred_logits, pred_masks, targets: Targets, mask_type: str,
+                 col_valid) -> jnp.ndarray:
+        """pred_logits (L,B,Q,C), pred_masks (L,B,M,Q). Returns matched query
+        index per target: (L, B, T) int32, -1 where the target is padding."""
+        tgt_masks = targets.seg_masks if mask_type == "segment_mask" else None
+        assert tgt_masks is not None, "voxel-level matching uses cost_matrix directly"
+        L, B = pred_logits.shape[:2]
+        T = targets.labels.shape[-1]
+        cost = self.cost_matrix(
+            pred_logits,
+            pred_masks,
+            targets.labels[None].repeat(L, 0),
+            tgt_masks[None].astype(jnp.float32).repeat(L, 0),
+            targets.valid[None].repeat(L, 0),
+            col_valid[None].repeat(L, 0),
+        )
+        cost = jax.lax.stop_gradient(cost)
+        matched = solve_lsap(cost)
+        return jnp.where(targets.valid[None], matched, -1)
+
+
+def _host_lsap(cost: np.ndarray) -> np.ndarray:
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.asarray(cost, np.float64)
+    lead = cost.shape[:-2]
+    q, t = cost.shape[-2:]
+    flat = cost.reshape(-1, q, t)
+    out = np.zeros((flat.shape[0], t), np.int32)
+    for i in range(flat.shape[0]):
+        c = np.nan_to_num(flat[i], nan=_BIG, posinf=_BIG, neginf=-_BIG)
+        rows, cols = linear_sum_assignment(c)
+        out[i][cols] = rows
+    return out.reshape(*lead, t)
+
+
+def solve_lsap(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve batched LSAPs on host. cost (..., Q, T) -> (..., T) query index."""
+    shape = jax.ShapeDtypeStruct(cost.shape[:-2] + (cost.shape[-1],), jnp.int32)
+    return jax.pure_callback(_host_lsap, shape, cost)
