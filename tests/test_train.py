@@ -1,0 +1,80 @@
+"""End-to-end train-step tests: single device + 8-device CPU mesh DP."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unscene3d_tpu.data.collate import FreeMaskCollator
+from unscene3d_tpu.data.synthetic import make_batch
+from unscene3d_tpu.losses.criterion import SetCriterion
+from unscene3d_tpu.losses.matcher import HungarianMatcher
+from unscene3d_tpu.models.backbone import Res16UNet14A
+from unscene3d_tpu.models.mask3d import Mask3D
+from unscene3d_tpu.parallel.mesh import make_mesh, stack_shards
+from unscene3d_tpu.train.loop import Trainer, make_optimizer
+
+
+def tiny_model():
+    return Mask3D(
+        backbone=Res16UNet14A(out_channels=2),
+        num_classes=3,
+        hidden_dim=32,
+        num_queries=10,
+        num_heads=2,
+        dim_feedforward=64,
+        num_decoders=1,
+        hlevels=(0, 1, 2, 3),
+        sample_sizes=(32, 64, 128, 256, 512),
+    )
+
+
+def tiny_batch(seed=0, n_scenes=2):
+    scenes = make_batch(n_scenes, num_points=1500, seed=seed)
+    return FreeMaskCollator(voxel_size=0.12)(scenes)
+
+
+def make_trainer(mesh=None, steps=50):
+    model = tiny_model()
+    criterion = SetCriterion(matcher=HungarianMatcher(), num_classes=3)
+    tx = make_optimizer(lr=2e-3, total_steps=steps)
+    return Trainer(model, criterion, tx, mesh=mesh)
+
+
+def test_single_device_loss_decreases():
+    batch, _ = tiny_batch()
+    trainer = make_trainer(steps=60)
+    state = trainer.init_state(batch)
+    step = trainer.build_train_step()
+    rng = jax.random.PRNGKey(0)
+    loss0 = None
+    for i in range(30):
+        state, losses = step(state, batch, jax.random.fold_in(rng, i))
+        if loss0 is None:
+            loss0 = float(losses["total"])
+    assert np.isfinite(float(losses["total"]))
+    assert float(losses["total"]) < loss0 * 0.9, (loss0, float(losses["total"]))
+
+
+def test_multichip_dp_step():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    # 8 single-scene shards collated with a unified pad plan
+    collator = FreeMaskCollator(voxel_size=0.12)
+    scene_lists = [make_batch(1, num_points=1500, seed=s) for s in range(8)]
+    shards, _ = collator.collate_shards(scene_lists)
+    shapes = [jax.tree.map(lambda x: x.shape, s) for s in shards]
+    assert all(s == shapes[0] for s in shapes[1:]), "shards must share shapes"
+    stacked = stack_shards(shards)
+
+    trainer = make_trainer(mesh=mesh, steps=10)
+    state = trainer.init_state(shards[0])
+    step = trainer.build_train_step()
+    rng = jax.random.PRNGKey(0)
+    state, losses = step(state, stacked, rng)
+    state, losses = step(state, stacked, jax.random.fold_in(rng, 1))
+    assert np.isfinite(float(losses["total"]))
+    assert int(state.step) == 2
+    # params stay replicated and finite
+    leaf = jax.tree.leaves(state.params)[0]
+    assert bool(jnp.isfinite(leaf).all())

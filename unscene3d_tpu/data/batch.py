@@ -9,6 +9,8 @@ index tables.
 
 from __future__ import annotations
 
+from typing import Any
+
 from flax import struct
 import jax.numpy as jnp
 
@@ -48,6 +50,7 @@ class SceneBatch:
     scene_idx: tuple             # tuple of (B, n_max_l) int32, levels 0..4
     scene_valid: tuple           # tuple of (B, n_max_l) bool
     target: Targets | None = None
+    triplane: Any = None         # TriplaneMaps, when the noise-robust loss is on
 
     @property
     def batch_size(self) -> int:

@@ -50,13 +50,19 @@ class FreeMaskCollator:
     """
 
     def __init__(self, voxel_size: float = 0.02, num_levels: int = 5,
-                 target_align: int = 8, seg_align: int = 64):
+                 target_align: int = 8, seg_align: int = 64,
+                 build_triplane: bool = False):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
         self.seg_align = seg_align
+        self.build_triplane = build_triplane
 
-    def __call__(self, scenes: list[dict]) -> tuple[SceneBatch, CollateMeta]:
+    def __call__(self, scenes: list[dict], pads: dict | None = None
+                 ) -> tuple[SceneBatch, CollateMeta]:
+        """pads: optional explicit pad plan (from `pad_plan`) so that several
+        shards collated independently share identical static shapes -- required
+        for stacking shards on a data-parallel mesh axis."""
         B = len(scenes)
         per_scene = []
         meta = CollateMeta([], [], [], [], [], [], [], [])
@@ -87,7 +93,11 @@ class FreeMaskCollator:
             [np.column_stack([np.full(len(p["coords"]), b, np.int32), p["coords"]])
              for b, p in enumerate(per_scene)]
         )
-        graph = build_sparse_graph(coords_all, num_levels=self.num_levels)
+        graph = build_sparse_graph(
+            coords_all,
+            num_levels=self.num_levels,
+            pad_sizes=pads["levels"] if pads else None,
+        )
         n0_pad = graph.levels[0].num_padded
 
         c_in = per_scene[0]["feats"].shape[1]
@@ -112,7 +122,8 @@ class FreeMaskCollator:
             valid = np.asarray(lvl.valid)
             n_pad_l = lvl.num_padded
             counts = [int(((bidx == b) & valid).sum()) for b in range(B)]
-            n_max = bucket_size(max(counts) + 1, align=64, min_size=64)
+            n_max = (pads["scene_n"][lv] if pads
+                     else bucket_size(max(counts) + 1, align=64, min_size=64))
             idx_tbl = np.full((B, n_max), n_pad_l - 1, np.int32)  # padded row
             val_tbl = np.zeros((B, n_max), bool)
             for b in range(B):
@@ -124,7 +135,8 @@ class FreeMaskCollator:
 
         # segments
         s_counts = [int(p["seg"].max()) + 1 if len(p["seg"]) else 0 for p in per_scene]
-        s_max = bucket_size(max(s_counts) + 1, align=self.seg_align, min_size=self.seg_align)
+        s_max = (pads["s_max"] if pads else
+                 bucket_size(max(s_counts) + 1, align=self.seg_align, min_size=self.seg_align))
         seg_valid = np.zeros((B, s_max), bool)
         for b, c in enumerate(s_counts):
             seg_valid[b, :c] = True
@@ -133,8 +145,9 @@ class FreeMaskCollator:
         target = None
         if per_scene[0]["masks"] is not None:
             t_counts = [p["masks"].shape[1] for p in per_scene]
-            t_max = bucket_size(max(t_counts + [1]), align=self.target_align,
-                                min_size=self.target_align)
+            t_max = (pads["t_max"] if pads else
+                     bucket_size(max(t_counts + [1]), align=self.target_align,
+                                 min_size=self.target_align))
             labels = np.zeros((B, t_max), np.int32)
             t_valid = np.zeros((B, t_max), bool)
             seg_masks = np.zeros((B, t_max, s_max), bool)
@@ -151,6 +164,17 @@ class FreeMaskCollator:
             target = Targets(labels=labels, valid=t_valid, seg_masks=seg_masks,
                              vox_masks=vox_masks)
 
+        triplane = None
+        if self.build_triplane:
+            from unscene3d_tpu.ops.triplane import build_triplane_maps
+
+            triplane = build_triplane_maps(
+                np.asarray(graph.levels[0].coords),
+                np.asarray(graph.levels[0].valid),
+                B,
+                n_pix_pad=pads["n_pix"] if pads else None,
+            )
+
         batch = SceneBatch(
             graph=graph,
             features=features,
@@ -160,5 +184,43 @@ class FreeMaskCollator:
             scene_idx=tuple(scene_idx),
             scene_valid=tuple(scene_valid),
             target=target,
+            triplane=triplane,
         )
         return batch, meta
+
+    @staticmethod
+    def pad_plan(batch: SceneBatch) -> dict:
+        """Extract the pad plan realized by a collated batch."""
+        return dict(
+            levels=[l.num_padded for l in batch.graph.levels],
+            scene_n=[si.shape[1] for si in batch.scene_idx],
+            s_max=batch.seg_valid.shape[1],
+            t_max=(batch.target.labels.shape[1] if batch.target is not None else 0),
+            n_pix=(batch.triplane.pix_scene.shape[0]
+                   if batch.triplane is not None else 0),
+        )
+
+    @staticmethod
+    def merge_pad_plans(plans: list[dict]) -> dict:
+        return dict(
+            levels=[max(p["levels"][i] for p in plans) for i in range(len(plans[0]["levels"]))],
+            scene_n=[max(p["scene_n"][i] for p in plans) for i in range(len(plans[0]["scene_n"]))],
+            s_max=max(p["s_max"] for p in plans),
+            t_max=max(p["t_max"] for p in plans),
+            n_pix=max(p["n_pix"] for p in plans),
+        )
+
+    def collate_shards(self, shard_scenes: list[list[dict]]
+                       ) -> tuple[list[SceneBatch], list[CollateMeta]]:
+        """Collate several data-parallel shards with one unified pad plan so
+        their pytrees can be stacked on a device axis."""
+        first = [self(scenes) for scenes in shard_scenes]
+        plans = [self.pad_plan(b) for b, _ in first]
+        merged = self.merge_pad_plans(plans)
+        batches, metas = [], []
+        for (b, m), plan, scenes in zip(first, plans, shard_scenes):
+            if plan != merged:
+                b, m = self(scenes, pads=merged)
+            batches.append(b)
+            metas.append(m)
+        return batches, metas

@@ -35,7 +35,7 @@ class TriplaneMaps:
 
 
 def build_triplane_maps(coords: np.ndarray, valid: np.ndarray,
-                        num_scenes: int) -> TriplaneMaps:
+                        num_scenes: int, n_pix_pad: int | None = None) -> TriplaneMaps:
     """coords: (N0_pad, 4) int voxel coords, valid: (N0_pad,) bool. Host-side."""
     coords = np.asarray(coords, np.int64)
     n0 = len(coords)
@@ -59,7 +59,9 @@ def build_triplane_maps(coords: np.ndarray, valid: np.ndarray,
         scenes_list.append((pix_coords >> 42).astype(np.int32))
         offset += n_real
     n_pix = offset
-    n_pix_pad = bucket_size(n_pix + 1)
+    if n_pix_pad is None:
+        n_pix_pad = bucket_size(n_pix + 1)
+    assert n_pix_pad > n_pix
     pix_scene = np.zeros(n_pix_pad, np.int32)
     pix_scene[:n_pix] = np.concatenate(scenes_list) if n_pix else []
     pix_valid = np.zeros(n_pix_pad, bool)

@@ -1,0 +1,166 @@
+"""Explicit train loop: optax AdamW + OneCycle, shard_map data parallelism.
+
+Replaces the reference's pytorch-lightning Trainer + DDP
+(main_instance_segmentation.py:86-93, trainer/trainer.py:99-163,953-966):
+  * AdamW lr 1e-4 (5e-5 on self-train rounds) + OneCycleLR stepped per
+    iteration (conf/optimizer/adamw*.yaml, conf/scheduler/onecyclelr.yaml)
+  * gradient averaging / num_masks normalization over the 'data' mesh axis
+    via lax.pmean (reference: NCCL all_reduce, models/criterion.py:258-260)
+  * batch-norm running stats pmean-synced across shards (an improvement:
+    torch DDP keeps per-rank stats)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from unscene3d_tpu.data.batch import SceneBatch
+from unscene3d_tpu.losses.criterion import SetCriterion
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    buffers: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    total_steps: int = 10000,
+    schedule: str = "onecycle",
+    weight_decay: float = 1e-2,
+) -> optax.GradientTransformation:
+    """AdamW + torch-default OneCycleLR (cos anneal, pct_start .3,
+    div_factor 25, final_div 1e4)."""
+    if schedule == "onecycle":
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=lr,
+            pct_start=0.3,
+            div_factor=25.0,
+            final_div_factor=1e4,
+        )
+    elif schedule == "constant":
+        sched = lr
+    else:
+        raise ValueError(schedule)
+    return optax.adamw(sched, weight_decay=weight_decay)
+
+
+class Trainer:
+    """Owns the jitted/shard_mapped train and eval steps."""
+
+    def __init__(
+        self,
+        model,
+        criterion: SetCriterion,
+        optimizer: optax.GradientTransformation,
+        mesh: Mesh | None = None,
+    ):
+        self.model = model
+        self.criterion = criterion
+        self.tx = optimizer
+        self.mesh = mesh
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, example_batch: SceneBatch, seed: int = 0) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(seed + 1)}
+        variables = self.model.init(rngs, example_batch, train=False, is_eval=True)
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            buffers=variables.get("buffers", {}),
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------- train step
+    def _loss_fn(self, params, batch_stats, buffers, batch: SceneBatch, rng):
+        variables = {"params": params, "batch_stats": batch_stats, "buffers": buffers}
+        outputs, mutated = self.model.apply(
+            variables,
+            batch,
+            train=True,
+            return_aux_vox=self.criterion.weight_noise_robust != 0.0,
+            rngs={"sample": rng},
+            mutable=["batch_stats"],
+        )
+        losses = self.criterion(outputs, batch, triplane=batch.triplane)
+        return losses["total"], (losses, mutated["batch_stats"])
+
+    def _step_core(self, state: TrainState, batch: SceneBatch, rng, axis: str | None):
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (_, (losses, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.buffers, batch, rng
+        )
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            losses = jax.lax.pmean(losses, axis)
+            new_bs = jax.lax.pmean(new_bs, axis)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, losses
+
+    def build_train_step(self) -> Callable:
+        """Single-device jit step (mesh=None) or shard_mapped DP step."""
+        if self.mesh is None:
+            if self._train_step is None:
+                self._train_step = jax.jit(
+                    lambda s, b, r: self._step_core(s, b, r, None)
+                )
+            return self._train_step
+
+        if self._train_step is None:
+            mesh = self.mesh
+
+            def sharded(state, batches, rng):
+                # batches: pytree with leading 'data'-sharded device axis
+                batch = jax.tree.map(lambda x: x[0], batches)
+                return self._step_core(state, batch, rng, "data")
+
+            self._train_step = jax.jit(
+                jax.shard_map(
+                    sharded,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P()),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+            )
+        return self._train_step
+
+    # -------------------------------------------------------------- eval step
+    def build_eval_step(self) -> Callable:
+        if self._eval_step is None:
+
+            def eval_step(state, batch):
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "buffers": state.buffers,
+                }
+                return self.model.apply(variables, batch, train=False, is_eval=True)
+
+            self._eval_step = jax.jit(eval_step)
+        return self._eval_step
