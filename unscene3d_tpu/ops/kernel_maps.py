@@ -33,13 +33,23 @@ KERNEL2_OFFSETS = np.array(
 )  # (8, 3); offset id = dx*4 + dy*2 + dz
 
 
-def build_neighbor_map(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def build_neighbor_map(coords: np.ndarray, use_native: bool = True
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Output-centric kernel-size-3 map.
 
     coords: (N, 4) int [b, x, y, z] unit coords (no padding rows).
     Returns (nbr_idx (27, N) int32, nbr_valid (27, N) bool): for voxel i and
     offset k, the index of the voxel at coords[i] + offset[k] if present.
+
+    Uses the C++ flat-hash builder (unscene3d_tpu/native/kernel_maps.cpp)
+    when available; numpy sorted-key searchsorted otherwise.
     """
+    if use_native:
+        from unscene3d_tpu.native import build_neighbor_map_native
+
+        res = build_neighbor_map_native(np.asarray(coords, np.int32), KERNEL3_OFFSETS)
+        if res is not None:
+            return res
     n = len(coords)
     table = CoordHashTable(coords)
     nbr_idx = np.zeros((27, n), dtype=np.int32)
