@@ -33,6 +33,7 @@ class CollateMeta:
     original_colors: list
     num_voxels: list
     segment_connectivity: list
+    original_segments: list   # (P_b,) consecutive full-res segment ids
 
 
 def _relabel(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -65,7 +66,7 @@ class FreeMaskCollator:
         for stacking shards on a data-parallel mesh axis."""
         B = len(scenes)
         per_scene = []
-        meta = CollateMeta([], [], [], [], [], [], [], [])
+        meta = CollateMeta([], [], [], [], [], [], [], [], [])
         for b, s in enumerate(scenes):
             xyz = np.asarray(s["xyz"], np.float32)
             vox_coords, unique_map, inverse_map = sparse_quantize(xyz, self.voxel_size)
@@ -88,6 +89,8 @@ class FreeMaskCollator:
             meta.original_colors.append(s.get("colors"))
             meta.num_voxels.append(len(vox_coords))
             meta.segment_connectivity.append(s.get("segment_connectivity"))
+            full_seg, _ = _relabel(np.asarray(s["segments"]))
+            meta.original_segments.append(full_seg)
 
         coords_all = np.concatenate(
             [np.column_stack([np.full(len(p["coords"]), b, np.int32), p["coords"]])

@@ -58,18 +58,36 @@ class Mask3D(nn.Module):
     use_level_embed: bool = False
     scatter_type: str = "mean"
     gauss_scale: float = 1.0
+    # config-surface parity with the reference (conf/model/mask3d.yaml)
+    dropout: float = 0.0
+    pre_norm: bool = False
+    positional_encoding_type: str = "fourier"
+    random_queries: bool = False
+    random_query_both: bool = False
+    random_normal: bool = False
+    use_np_features: bool = False
+    voxel_size: float = 0.02
     dtype: Any = jnp.float32
 
     def setup(self):
+        assert self.dropout == 0.0, "dropout>0 not implemented (reference runs 0.0)"
         D = self.hidden_dim
         self.pos_enc = PositionEmbeddingCoordsSine(
             d_pos=D, gauss_scale=self.gauss_scale, normalize=self.normalize_pos_enc,
-            dtype=self.dtype,
+            pos_type=self.positional_encoding_type, dtype=self.dtype,
         )
         if self.non_parametric_queries:
             # GenericMLP(query_projection): Lin->ReLU->Lin->ReLU (helpers_3detr.py:45)
             self.query_projection = [nn.Dense(D, name=f"query_proj_{i}") for i in range(2)]
-        else:
+            if self.use_np_features:
+                self.np_feature_projection = [
+                    nn.Dense(D, name=f"np_feat_proj_{i}") for i in range(2)
+                ]
+        elif self.random_query_both:
+            self.query_projection = [
+                nn.Dense(2 * D, name=f"query_proj_{i}") for i in range(2)
+            ]
+        elif not self.random_queries:
             self.query_feat = self.param(
                 "query_feat", nn.initializers.normal(1.0), (self.num_queries, D)
             )
@@ -87,17 +105,20 @@ class Mask3D(nn.Module):
 
         n_sets = 1 if self.shared_decoder else self.num_decoders
         self.cross_attention = [
-            [CrossAttentionLayer(D, self.num_heads, dtype=self.dtype,
+            [CrossAttentionLayer(D, self.num_heads, pre_norm=self.pre_norm,
+                                 dtype=self.dtype,
                                  name=f"cross_{d}_{i}") for i in range(len(self.hlevels))]
             for d in range(n_sets)
         ]
         self.self_attention = [
-            [SelfAttentionLayer(D, self.num_heads, dtype=self.dtype,
+            [SelfAttentionLayer(D, self.num_heads, pre_norm=self.pre_norm,
+                                dtype=self.dtype,
                                 name=f"self_{d}_{i}") for i in range(len(self.hlevels))]
             for d in range(n_sets)
         ]
         self.ffn = [
-            [FFNLayer(D, self.dim_feedforward, dtype=self.dtype,
+            [FFNLayer(D, self.dim_feedforward, pre_norm=self.pre_norm,
+                      dtype=self.dtype,
                       name=f"ffn_{d}_{i}") for i in range(len(self.hlevels))]
             for d in range(n_sets)
         ]
@@ -193,9 +214,33 @@ class Mask3D(nn.Module):
             )  # (B, Q, 3)
             mn, mx = per_scene_min_max(batch.raw_coords, batch.batch_idx, L0.valid, B)
             query_pos = self.pos_enc(sampled_coords, mn[:, None], mx[:, None])
-            for li, layer in enumerate(self.query_projection):
+            for layer in self.query_projection:
                 query_pos = nn.relu(layer(query_pos))
+            if self.use_np_features:
+                queries = jnp.take_along_axis(
+                    jnp.take(pcd_features, batch.scene_idx[0], axis=0),
+                    fps_idx[..., None], axis=1,
+                )
+                for li, layer in enumerate(self.np_feature_projection):
+                    queries = layer(queries)
+                    if li == 0:
+                        queries = nn.relu(queries)
+            else:
+                queries = jnp.zeros_like(query_pos)
+        elif self.random_queries:
+            rng = self.make_rng("sample")
+            query_pos = jax.random.uniform(rng, (B, Q, D), self.dtype) - 0.5
             queries = jnp.zeros_like(query_pos)
+            sampled_coords = None
+        elif self.random_query_both:
+            rng = self.make_rng("sample")
+            if self.random_normal:
+                qpf = jax.random.normal(rng, (B, Q, 2 * D), self.dtype)
+            else:
+                qpf = jax.random.uniform(rng, (B, Q, 2 * D), self.dtype) - 0.5
+            queries = qpf[..., :D]
+            query_pos = qpf[..., D:]
+            sampled_coords = None
         else:
             queries = jnp.tile(self.query_feat[None], (B, 1, 1))
             query_pos = jnp.tile(self.query_pos_embed[None], (B, 1, 1))

@@ -43,40 +43,55 @@ class MultiheadAttention(nn.Module):
 class CrossAttentionLayer(nn.Module):
     d_model: int
     num_heads: int
+    pre_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, block_mask=None, pos=None, query_pos=None):
-        q = tgt if query_pos is None else tgt + query_pos
+        norm = nn.LayerNorm(dtype=self.dtype)
+        src = norm(tgt) if self.pre_norm else tgt
+        q = src if query_pos is None else src + query_pos
         k = memory if pos is None else memory + pos
         tgt2 = MultiheadAttention(self.d_model, self.num_heads, dtype=self.dtype)(
             q, k, memory, block_mask
         )
-        return nn.LayerNorm(dtype=self.dtype)(tgt + tgt2)
+        if self.pre_norm:
+            return tgt + tgt2
+        return norm(tgt + tgt2)
 
 
 class SelfAttentionLayer(nn.Module):
     d_model: int
     num_heads: int
+    pre_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos=None):
-        q = tgt if query_pos is None else tgt + query_pos
+        norm = nn.LayerNorm(dtype=self.dtype)
+        src = norm(tgt) if self.pre_norm else tgt
+        q = src if query_pos is None else src + query_pos
         tgt2 = MultiheadAttention(self.d_model, self.num_heads, dtype=self.dtype)(
-            q, q, tgt
+            q, q, src
         )
-        return nn.LayerNorm(dtype=self.dtype)(tgt + tgt2)
+        if self.pre_norm:
+            return tgt + tgt2
+        return norm(tgt + tgt2)
 
 
 class FFNLayer(nn.Module):
     d_model: int
     dim_feedforward: int = 1024
+    pre_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt):
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(tgt)
+        norm = nn.LayerNorm(dtype=self.dtype)
+        src = norm(tgt) if self.pre_norm else tgt
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-        return nn.LayerNorm(dtype=self.dtype)(tgt + h)
+        if self.pre_norm:
+            return tgt + h
+        return norm(tgt + h)

@@ -1,0 +1,242 @@
+"""Experiment orchestration: the pytorch-lightning replacement.
+
+Covers the reference's InstanceSegmentation module duties
+(trainer/trainer.py:44-998): train loop with per-step OneCycle, periodic
+validation with class-agnostic AP, best/last checkpointing, resume,
+prediction export for self-training, CSV logging. Data parallelism over all
+visible devices via the shard_map trainer.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import queue
+import threading
+import time
+
+import jax
+import numpy as np
+
+from unscene3d_tpu.data.collate import FreeMaskCollator
+from unscene3d_tpu.eval.instance_eval import evaluate_instances
+from unscene3d_tpu.eval.postprocess import eval_scene_predictions, get_full_res_mask
+from unscene3d_tpu.losses.criterion import SetCriterion
+from unscene3d_tpu.parallel.mesh import make_mesh, stack_shards
+from unscene3d_tpu.train.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    restore_partial,
+    save_checkpoint,
+)
+from unscene3d_tpu.train.loop import Trainer, make_optimizer
+
+
+class CSVLogger:
+    def __init__(self, save_dir: str):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = os.path.join(save_dir, "metrics.csv")
+        self._fieldnames = None
+
+    def log(self, row: dict):
+        row = {k: (float(v) if hasattr(v, "item") else v) for k, v in row.items()}
+        exists = os.path.exists(self.path)
+        with open(self.path, "a", newline="") as f:
+            if self._fieldnames is None:
+                self._fieldnames = sorted(row)
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+
+class Prefetcher:
+    """Single-worker thread prefetch of collated batches (the reference uses
+    DataLoader worker processes; collation here is fast numpy + C++)."""
+
+    def __init__(self, make_batch_fn, num_batches: int, depth: int = 2):
+        self.q = queue.Queue(maxsize=depth)
+        self.n = num_batches
+
+        def worker():
+            for i in range(num_batches):
+                self.q.put(make_batch_fn(i))
+
+        self.t = threading.Thread(target=worker, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        for _ in range(self.n):
+            yield self.q.get()
+
+
+class Experiment:
+    def __init__(self, cfg, model, criterion: SetCriterion,
+                 train_dataset, validation_dataset, test_dataset,
+                 collator: FreeMaskCollator):
+        self.cfg = cfg
+        self.model = model
+        self.criterion = criterion
+        self.train_dataset = train_dataset
+        self.validation_dataset = validation_dataset
+        self.test_dataset = test_dataset
+        self.collator = collator
+        self.save_dir = cfg.general.save_dir
+        self.logger = CSVLogger(self.save_dir)
+
+        self.n_devices = len(jax.devices())
+        self.batch_size = int(cfg.data.batch_size)
+        if self.n_devices > 1 and self.batch_size % self.n_devices == 0:
+            self.mesh = make_mesh(self.n_devices)
+            self.shard_scenes = self.batch_size // self.n_devices
+        else:
+            self.mesh = None
+            self.shard_scenes = self.batch_size
+
+        steps_per_epoch = max(len(train_dataset) // self.batch_size, 1)
+        total_steps = steps_per_epoch * int(cfg.trainer.max_epochs)
+        self.steps_per_epoch = steps_per_epoch
+        opt = make_optimizer(
+            lr=float(cfg.optimizer.lr), total_steps=total_steps,
+            weight_decay=float(cfg.optimizer.get("weight_decay", 1e-2)),
+        )
+        self.trainer = Trainer(model, criterion, opt, mesh=self.mesh)
+
+    # --------------------------------------------------------------- batches
+    def _example_batch(self):
+        scenes = [self.train_dataset[i % len(self.train_dataset)]
+                  for i in range(self.shard_scenes)]
+        return self.collator(scenes)[0]
+
+    def _train_batch(self, rng: np.random.RandomState, pads=None):
+        order = rng.permutation(len(self.train_dataset))
+        idx = 0
+
+        def next_scenes(n):
+            nonlocal idx
+            out = [self.train_dataset[int(order[(idx + i) % len(order)])] for i in range(n)]
+            idx += n
+            return out
+
+        if self.mesh is None:
+            batch, _ = self.collator(next_scenes(self.batch_size), pads=pads)
+            return batch
+        shard_lists = [next_scenes(self.shard_scenes) for _ in range(self.n_devices)]
+        shards, _ = self.collator.collate_shards(shard_lists)
+        return stack_shards(shards)
+
+    # ----------------------------------------------------------------- train
+    def fit(self, max_epochs: int | None = None, seed: int = 42,
+            resume: bool = False, checkpoint: str | None = None):
+        cfg = self.cfg
+        max_epochs = int(cfg.trainer.max_epochs) if max_epochs is None else max_epochs
+        rng_np = np.random.RandomState(seed)
+        rng = jax.random.PRNGKey(seed)
+
+        example = self._example_batch()
+        state = self.trainer.init_state(example, seed=seed)
+        ckpt_dir = os.path.join(self.save_dir, "checkpoints")
+        if checkpoint:
+            state = restore_partial(checkpoint, state)
+            print(f"[exp] partial-restored from {checkpoint}")
+        elif resume and latest_step(ckpt_dir) is not None:
+            state = restore_checkpoint(ckpt_dir, state)
+            print(f"[exp] resumed from step {int(state.step)}")
+
+        step_fn = self.trainer.build_train_step()
+        best_ap = -1.0
+        check_every = int(cfg.trainer.get("check_val_every_n_epoch", 50))
+        start_epoch = int(state.step) // self.steps_per_epoch
+
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            losses = None
+            for it in range(self.steps_per_epoch):
+                batch = self._train_batch(rng_np)
+                rng, sub = jax.random.split(rng)
+                state, losses = step_fn(state, batch, sub)
+            dt = time.time() - t0
+            total = float(np.asarray(losses["total"]))
+            print(f"[epoch {epoch}] loss={total:.4f} "
+                  f"({dt:.1f}s, {self.steps_per_epoch} steps)")
+            self.logger.log({"epoch": epoch, "loss_total": total,
+                             "epoch_seconds": dt})
+            save_checkpoint(ckpt_dir, state)
+
+            if (epoch + 1) % check_every == 0 or epoch == max_epochs - 1:
+                results = self.evaluate(state, self.validation_dataset)
+                ap50 = results["all_ap_50%"]
+                self.logger.log({"epoch": epoch, "val_mean_ap": results["all_ap"],
+                                 "val_mean_ap_50": ap50,
+                                 "val_mean_ap_25": results["all_ap_25%"]})
+                print(f"[val] AP={results['all_ap']:.3f} AP50={ap50:.3f} "
+                      f"AP25={results['all_ap_25%']:.3f}")
+                if ap50 > best_ap:
+                    best_ap = ap50
+                    save_checkpoint(os.path.join(self.save_dir, "best"), state)
+        return state
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, state, dataset, save_for_freemask: bool = False,
+                 max_scenes: int | None = None) -> dict:
+        cfg = self.cfg
+        eval_fn = self.trainer.build_eval_step()
+        preds, gts = {}, {}
+        n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
+        for i in range(n):
+            scene = dataset[i]
+            batch, meta = self.collator([scene])
+            out = eval_fn(state, batch)
+            name = meta.scene_names[0]
+            n_vox = meta.num_voxels[0]
+            vox_logits = np.asarray(out["pred_masks_vox"][-1][:n_vox])
+            logits = np.asarray(out["pred_logits"][-1][0])
+            p = eval_scene_predictions(
+                logits, vox_logits,
+                inverse_map=meta.inverse_maps[0],
+                point2segment_full=meta.original_segments[0],
+                eval_on_segments=bool(cfg.general.eval_on_segments),
+                topk_per_image=int(cfg.general.topk_per_image),
+                filter_instances=bool(cfg.general.filter_out_instances),
+                iou_threshold=float(cfg.general.iou_threshold),
+                scores_threshold=float(cfg.general.scores_threshold),
+                separate_instances=bool(cfg.general.separate_instances),
+                segment_connectivity=meta.segment_connectivity[0],
+            )
+            # classes: head index 1 == 'foreground' (valid class id 1)
+            preds[name] = {"masks": p["masks"], "classes": p["classes"],
+                           "scores": p["scores"]}
+            gts[name] = self._gt_ids(scene)
+            if save_for_freemask:
+                out_dir = os.path.join(self.save_dir, "freemasks")
+                os.makedirs(out_dir, exist_ok=True)
+                np.save(os.path.join(out_dir, f"{name}_cloud.npy"),
+                        meta.full_res_coords[0])
+                np.save(os.path.join(out_dir, f"{name}_masks.npy"),
+                        p["masks"].astype(bool))
+        return evaluate_instances(preds, gts, min_region_size=10)
+
+    @staticmethod
+    def _gt_ids(scene: dict) -> np.ndarray:
+        """Encode GT per-point ids as sem*1000 + inst + 1 (freemask sem=1)."""
+        if "instances" in scene:
+            inst = np.asarray(scene["instances"])
+            return np.where(inst >= 0, 1000 + inst + 1, 0)
+        masks = np.asarray(scene["masks"], bool)
+        gt = np.zeros(masks.shape[0], np.int64)
+        for k in range(masks.shape[1]):
+            gt[masks[:, k]] = 1000 + k + 1
+        return gt
+
+    def test(self, checkpoint: str | None = None, save_for_freemask: bool = False):
+        example = self._example_batch()
+        state = self.trainer.init_state(example)
+        ckpt = checkpoint or os.path.join(self.save_dir, "best")
+        if latest_step(ckpt) is None:
+            ckpt = os.path.join(self.save_dir, "checkpoints")
+        state = restore_checkpoint(ckpt, state)
+        results = self.evaluate(state, self.test_dataset,
+                                save_for_freemask=save_for_freemask)
+        print(json.dumps(results, indent=2, default=float))
+        return results
