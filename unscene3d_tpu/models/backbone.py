@@ -57,19 +57,21 @@ class Res16UNetBase(nn.Module):
         L = graph.levels
         p = self.planes
 
-        # ---- stem + down path (strides 1 -> 16)
+        # ---- stem + down path (strides 1 -> 16); each strided conv keeps its
+        # input width (reference uses self.inplanes for both in and out,
+        # models/res16unet.py:51-125)
         out_p1 = self._conv_bn_relu(features, L[0], self.init_dim, "k3", "conv0p1s1", train)
 
-        out = self._conv_bn_relu(out_p1, L[1], self.init_dim, "down2", "conv1p1s2", train)
+        out = self._conv_bn_relu(out_p1, L[1], out_p1.shape[-1], "down2", "conv1p1s2", train)
         out_b1p2 = self._blocks(out, L[1], self.layers[0], p[0], "block1", train)
 
-        out = self._conv_bn_relu(out_b1p2, L[2], self.init_dim, "down2", "conv2p2s2", train)
+        out = self._conv_bn_relu(out_b1p2, L[2], out_b1p2.shape[-1], "down2", "conv2p2s2", train)
         out_b2p4 = self._blocks(out, L[2], self.layers[1], p[1], "block2", train)
 
-        out = self._conv_bn_relu(out_b2p4, L[3], self.init_dim, "down2", "conv3p4s2", train)
+        out = self._conv_bn_relu(out_b2p4, L[3], out_b2p4.shape[-1], "down2", "conv3p4s2", train)
         out_b3p8 = self._blocks(out, L[3], self.layers[2], p[2], "block3", train)
 
-        out = self._conv_bn_relu(out_b3p8, L[4], self.init_dim, "down2", "conv4p8s2", train)
+        out = self._conv_bn_relu(out_b3p8, L[4], out_b3p8.shape[-1], "down2", "conv4p8s2", train)
         res_16 = self._blocks(out, L[4], self.layers[3], p[3], "block4", train)
 
         feature_maps = [res_16]
