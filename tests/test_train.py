@@ -48,12 +48,12 @@ def test_single_device_loss_decreases():
     step = trainer.build_train_step()
     rng = jax.random.PRNGKey(0)
     loss0 = None
-    for i in range(30):
+    for i in range(14):
         state, losses = step(state, batch, jax.random.fold_in(rng, i))
         if loss0 is None:
             loss0 = float(losses["total"])
     assert np.isfinite(float(losses["total"]))
-    assert float(losses["total"]) < loss0 * 0.9, (loss0, float(losses["total"]))
+    assert float(losses["total"]) < loss0 * 0.95, (loss0, float(losses["total"]))
 
 
 def test_multichip_dp_step():
