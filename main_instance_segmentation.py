@@ -23,6 +23,9 @@ import numpy as np
 
 def get_parameters(overrides):
     from unscene3d_tpu.config import load_config
+    from unscene3d_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "conf", "config_base_instance_segmentation.yaml")

@@ -189,6 +189,50 @@ def evaluate_instances(
     return result
 
 
+DATASET_PRESETS = {
+    # reference benchmark/evaluate_semantic_instance.py:459-543
+    "freemask": dict(valid_class_ids=(1,), class_labels=("foreground",),
+                     min_region_size=10),
+    "scannet": dict(
+        valid_class_ids=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28,
+                         33, 34, 36, 39),
+        class_labels=("cabinet", "bed", "chair", "sofa", "table", "door",
+                      "window", "bookshelf", "picture", "counter", "desk",
+                      "curtain", "refrigerator", "shower curtain", "toilet",
+                      "sink", "bathtub", "otherfurniture"),
+        min_region_size=100,
+    ),
+}
+
+
+def evaluate(preds: dict, gt_path: str, output_file: str | None = None,
+             dataset: str = "freemask") -> dict:
+    """File-based evaluation matching the reference's entry point
+    (benchmark/evaluate_semantic_instance.py:459): preds keyed by scene name
+    with 'pred_masks'/'pred_scores'/'pred_classes', GT read from
+    `{gt_path}/{scene}.txt` (per-point ids sem*1000+inst+1)."""
+    import os
+
+    preset = DATASET_PRESETS[dataset]
+    norm_preds, gts = {}, {}
+    for scene, p in preds.items():
+        masks = np.asarray(p.get("pred_masks", p.get("masks")))
+        norm_preds[scene] = {
+            "masks": masks,
+            "classes": np.asarray(p.get("pred_classes", p.get("classes"))),
+            "scores": np.asarray(p.get("pred_scores", p.get("scores"))),
+        }
+        gt_file = os.path.join(gt_path, f"{scene}.txt")
+        gts[scene] = np.loadtxt(gt_file, dtype=np.int64)
+    result = evaluate_instances(norm_preds, gts, **preset)
+    if output_file:
+        import json
+
+        with open(output_file, "w") as f:
+            json.dump(result, f, indent=2, default=float)
+    return result
+
+
 def _average_precision(y_true: np.ndarray, y_score: np.ndarray, hard_fns: int) -> float:
     """The benchmark's PR integration (reference :190-242)."""
     if len(y_true) == 0:

@@ -107,6 +107,33 @@ def separate_segments(foreground: np.ndarray, unique_segments: np.ndarray,
     return [np.asarray(v) for v in comps.values()]
 
 
+def dbscan_split_queries(vox_masks: np.ndarray, pred_logits: np.ndarray,
+                         vox_coords: np.ndarray, eps: float = 0.95,
+                         min_points: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Split each query's positive region into DBSCAN clusters, one
+    prediction per cluster (reference trainer/trainer.py:507-539).
+    Returns (new vox_masks (N, K'), new logits (K', C))."""
+    from sklearn.cluster import DBSCAN
+
+    new_masks, new_logits = [], []
+    for q in range(vox_masks.shape[1]):
+        pos = vox_masks[:, q] > 0
+        if pos.sum() == 0:
+            continue
+        labels = DBSCAN(eps=eps, min_samples=min_points, n_jobs=1).fit(
+            vox_coords[pos]).labels_
+        full = np.full(len(vox_masks), -1, np.int64)
+        full[pos] = labels
+        for cid in np.unique(labels):
+            if cid == -1:
+                continue
+            new_masks.append(np.where(full == cid, vox_masks[:, q], -1e4))
+            new_logits.append(pred_logits[q])
+    if not new_masks:
+        return vox_masks, pred_logits
+    return np.stack(new_masks, 1), np.stack(new_logits, 0)
+
+
 def eval_scene_predictions(
     pred_logits: np.ndarray,       # (Q, C)
     vox_masks: np.ndarray,         # (N_vox, Q) logits (already segment-pooled)
@@ -119,9 +146,16 @@ def eval_scene_predictions(
     scores_threshold: float = 0.0,
     separate_instances: bool = False,
     segment_connectivity: np.ndarray | None = None,
+    use_dbscan: bool = False,
+    vox_coords: np.ndarray | None = None,
+    dbscan_eps: float = 0.95,
+    dbscan_min_points: int = 1,
 ) -> dict:
     """Full single-scene post-processing: returns dict(masks (P,K) bool,
     classes (K,), scores (K,)) for the AP evaluator."""
+    if use_dbscan and vox_coords is not None:
+        vox_masks, pred_logits = dbscan_split_queries(
+            vox_masks, pred_logits, vox_coords, dbscan_eps, dbscan_min_points)
     probs = _softmax(pred_logits)[:, :-1]
     scores, masks, classes, heatmap = get_mask_and_scores(
         probs, vox_masks, topk_per_image

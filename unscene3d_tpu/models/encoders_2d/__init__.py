@@ -1,8 +1,9 @@
 """2D encoder registry (reference models/encoders_2d/__init__.py:16-29)."""
 
 from unscene3d_tpu.models.encoders_2d.dino import DinoNet, ViTExtractor
+from unscene3d_tpu.models.encoders_2d.lseg import LSegNet
 
-_MODELS_2D = {"DinoNet": DinoNet}
+_MODELS_2D = {"DinoNet": DinoNet, "LSegNet": LSegNet}
 
 
 def load_2d_model(name: str):

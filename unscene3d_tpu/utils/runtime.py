@@ -1,0 +1,51 @@
+"""Runtime utilities: compilation cache, timers.
+
+The reference's hand-rolled timers live at utils/utils.py:353-415; here a
+minimal equivalent plus JAX persistent-compilation-cache setup (first TPU
+compile of the full model is ~minutes; cached reloads are seconds).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+
+def enable_compilation_cache(path: str | None = None):
+    import jax
+
+    path = path or os.environ.get("UNSCENE3D_JAX_CACHE", "/tmp/unscene3d_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+class Timer:
+    """Accumulating timer (reference utils/utils.py Timer/AverageMeter)."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.calls = 0
+        self._t0 = None
+
+    def tic(self):
+        self._t0 = time.perf_counter()
+
+    def toc(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.total += dt
+        self.calls += 1
+        return dt
+
+    @property
+    def average(self) -> float:
+        return self.total / max(self.calls, 1)
+
+    def __enter__(self):
+        self.tic()
+        return self
+
+    def __exit__(self, *a):
+        self.toc()
