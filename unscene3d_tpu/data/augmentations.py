@@ -111,3 +111,28 @@ class TrainAugmentation:
 def normalize_color(colors01: np.ndarray, mean, std) -> np.ndarray:
     """albumentations.Normalize semantics on unit-scale colors."""
     return ((colors01 - np.asarray(mean)) / np.asarray(std)).astype(np.float32)
+
+
+@dataclasses.dataclass
+class RandomCuboid:
+    """Random cuboid crop keeping a minimum fraction of points (reference
+    datasets/random_cuboid.py:17): sample an axis-aligned XY crop whose size
+    is a random fraction of the scene extent, retry until enough points (and
+    optionally enough instance points) survive."""
+
+    min_points: int = 30000
+    crop_length: float = 6.0
+    max_tries: int = 10
+
+    def __call__(self, xyz: np.ndarray, rng: np.random.RandomState,
+                 must_keep: np.ndarray | None = None) -> np.ndarray:
+        """Returns a bool keep-mask over points."""
+        for _ in range(self.max_tries):
+            center = xyz[rng.randint(len(xyz))][:2]
+            half = self.crop_length / 2
+            keep = (np.abs(xyz[:, 0] - center[0]) < half) & \
+                   (np.abs(xyz[:, 1] - center[1]) < half)
+            if keep.sum() >= min(self.min_points, len(xyz)):
+                if must_keep is None or (keep & must_keep).sum() > 0:
+                    return keep
+        return np.ones(len(xyz), bool)

@@ -74,13 +74,15 @@ class FreeMaskCollator:
             raw = xyz[unique_map]
             seg, _ = _relabel(np.asarray(s["segments"])[unique_map])
             masks = s.get("masks")
-            masks_v = None
+            masks_v, mask_labels = None, None
             if masks is not None:
                 masks_v = np.asarray(masks, bool)[unique_map]
                 keep = masks_v.sum(0) > 0  # drop instances emptied by voxelization
                 masks_v = masks_v[:, keep]
+                if s.get("mask_labels") is not None:
+                    mask_labels = np.asarray(s["mask_labels"])[keep]
             per_scene.append(dict(coords=vox_coords, feats=feats, raw=raw,
-                                  seg=seg, masks=masks_v))
+                                  seg=seg, masks=masks_v, mask_labels=mask_labels))
             meta.scene_names.append(s.get("name", f"scene{b:04d}"))
             meta.inverse_maps.append(inverse_map)
             meta.full_res_coords.append(xyz)
@@ -158,7 +160,10 @@ class FreeMaskCollator:
             for b, p in enumerate(per_scene):
                 off, n = scene_ranges[b]
                 k = p["masks"].shape[1]
-                labels[b, :k] = 1  # freemask: single 'foreground' class
+                if p.get("mask_labels") is not None:
+                    labels[b, :k] = p["mask_labels"]
+                else:
+                    labels[b, :k] = 1  # freemask: single 'foreground' class
                 t_valid[b, :k] = True
                 vox_masks[off:off + n, :k] = p["masks"]
                 for t in range(k):

@@ -1,0 +1,114 @@
+"""Labeled instance-segmentation dataset (reference datasets/semseg.py:27).
+
+Reads the same Mask3D npy format as FreeMaskDataset but builds targets from
+the (label, instance) columns (reference get_instance_masks semantics,
+datasets/utils.py:529-613): one mask per instance id != -1, per-instance
+class labels, class filtering, small-ignore-instance dropping, optional
+semantic-segmentation merging per label.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from unscene3d_tpu.data.augmentations import TrainAugmentation, normalize_color
+from unscene3d_tpu.data.freemask_dataset import COLOR_MEAN, COLOR_STD
+
+
+class SemanticSegmentationDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        mode: str = "train",
+        add_colors: bool = True,
+        add_normals: bool = False,
+        num_labels: int = 20,
+        ignore_label: int = 255,
+        filter_out_classes: tuple = (),
+        ignore_class_threshold: int = 100,
+        label_offset: int = 0,
+        task: str = "instance_segmentation",
+        augment: bool | None = None,
+        seed: int = 0,
+        **_,
+    ):
+        self.data_dir = data_dir
+        self.mode = mode
+        self.add_colors = add_colors
+        self.add_normals = add_normals
+        self.ignore_label = ignore_label
+        self.filter_out_classes = set(filter_out_classes)
+        self.ignore_class_threshold = ignore_class_threshold
+        self.label_offset = label_offset
+        self.task = task
+        self.augment = ("train" in mode) if augment is None else augment
+        self.rng = np.random.RandomState(seed)
+        self.augmentation = TrainAugmentation()
+
+        db_mode = {"train": "train", "validation": "validation",
+                   "test": "validation"}.get(mode, mode)
+        with open(os.path.join(data_dir, f"{db_mode}_database.yaml")) as f:
+            self.data = yaml.safe_load(f)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> dict:
+        entry = self.data[idx % len(self.data)]
+        path = entry["filepath"].replace("../../", "")
+        points = np.load(path)
+        coords = points[:, :3].astype(np.float32)
+        colors01 = points[:, 3:6].astype(np.float32) / 255.0
+        normals = points[:, 6:9].astype(np.float32)
+        segments = points[:, 9].astype(np.int64)
+        labels = points[:, 10].astype(np.int64)
+        instances = points[:, 11].astype(np.int64)
+
+        masks, mask_labels = self._instance_masks(labels, instances)
+        scene = dict(
+            xyz=coords, colors=colors01, normals=normals, segments=segments,
+            masks=masks, mask_labels=mask_labels,
+            labels=labels, instances=instances,
+            name=Path(entry.get("raw_filepath", path)).parent.name
+            if entry.get("raw_filepath") else Path(path).stem,
+        )
+        if self.augment:
+            scene = self.augmentation(scene, self.rng)
+        else:
+            scene["features"] = normalize_color(colors01, COLOR_MEAN, COLOR_STD)
+        if self.add_normals:
+            scene["features"] = np.hstack([scene["features"], normals])
+        if not self.add_colors:
+            scene["features"] = np.ones_like(scene["features"])
+        return scene
+
+    def _instance_masks(self, labels, instances):
+        mask_list, label_list = [], []
+        for iid in np.unique(instances):
+            if iid == -1:
+                continue
+            sel = instances == iid
+            label = int(labels[sel][0])
+            if label in self.filter_out_classes:
+                continue
+            if (255 in self.filter_out_classes and label == 255
+                    and sel.sum() < self.ignore_class_threshold):
+                continue
+            mask_list.append(sel)
+            label_list.append(max(label - self.label_offset, 0))
+        if not mask_list:
+            return np.zeros((len(labels), 0), bool), np.zeros(0, np.int64)
+        masks = np.stack(mask_list, 1)
+        out_labels = np.asarray(label_list, np.int64)
+        if self.task == "semantic_segmentation":
+            merged_m, merged_l = [], []
+            for label in np.unique(out_labels):
+                merged_m.append(masks[:, out_labels == label].any(1))
+                merged_l.append(label)
+            masks = np.stack(merged_m, 1)
+            out_labels = np.asarray(merged_l, np.int64)
+        return masks, out_labels

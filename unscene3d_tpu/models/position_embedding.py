@@ -8,6 +8,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def shift_scale_points(xyz: jnp.ndarray, src_min: jnp.ndarray, src_max: jnp.ndarray) -> jnp.ndarray:
@@ -40,6 +41,10 @@ class PositionEmbeddingCoordsSine(nn.Module):
     def __call__(self, xyz: jnp.ndarray, input_min: jnp.ndarray, input_max: jnp.ndarray) -> jnp.ndarray:
         """xyz: (..., N, 3) -> (..., N, d_pos)."""
         assert self.d_pos % 2 == 0
+        if self.pos_type == "legacy":
+            # PositionalEncoding3D (reference models/mask3d.py:459-488):
+            # raw coords, per-axis interleaved-frequency sin/cos, truncated
+            return self._legacy(xyz.astype(jnp.float32)).astype(self.dtype)
         x = xyz.astype(jnp.float32)
         if self.normalize:
             x = shift_scale_points(x, input_min, input_max)
@@ -57,6 +62,17 @@ class PositionEmbeddingCoordsSine(nn.Module):
         x = x * (2.0 * math.pi)
         proj = jnp.einsum("...nd,de->...ne", x, gauss_b)
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1).astype(self.dtype)
+
+    def _legacy(self, x: jnp.ndarray) -> jnp.ndarray:
+        ch = int(np.ceil(self.d_pos / 6) * 2)
+        if ch % 2:
+            ch += 1
+        inv_freq = 1.0 / (self.temperature ** (jnp.arange(0, ch, 2, dtype=jnp.float32) / ch))
+        embs = []
+        for d in range(x.shape[-1]):
+            p = x[..., d][..., None] * inv_freq
+            embs.append(jnp.concatenate([jnp.sin(p), jnp.cos(p)], axis=-1))
+        return jnp.concatenate(embs, axis=-1)[..., : self.d_pos]
 
     def _sine(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-axis interleaved sin/cos (reference get_sine_embeddings),
