@@ -54,7 +54,10 @@ def main():
     host_collate_s = time.perf_counter() - t_host0
     n_vox = meta.num_voxels[0]
 
-    variables = model.init(
+    from unscene3d_tpu.utils.runtime import init_on_cpu
+
+    variables = init_on_cpu(
+        model.init,
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         batch, train=False, is_eval=True,
     )
@@ -69,11 +72,14 @@ def main():
     finite = bool(jnp.isfinite(out["pred_logits"].astype(jnp.float32)).all())
 
     iters = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fwd(variables, batch)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)  # block per call: async queueing through the
+        #                             axon relay under-reports otherwise
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     scenes_per_sec = 1.0 / dt
 
     print(

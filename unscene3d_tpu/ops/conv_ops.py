@@ -27,21 +27,40 @@ def _masked_gather(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.
 
 
 def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
-                 bias: jnp.ndarray | None = None) -> jnp.ndarray:
+                 bias: jnp.ndarray | None = None,
+                 impl: str = "scan") -> jnp.ndarray:
     """kernel_size=3, stride=1 sparse conv at one level.
 
     x: (N, Cin), w: (27, Cin, Cout). Output (N, Cout) on the same coords.
+
+    impl: 'scan' serializes the 27 offset steps (minimal live memory),
+    'unroll' emits an independent gather+GEMM per offset with a balanced
+    reduction tree (lets XLA overlap gathers with MXU work at the cost of
+    transient memory).
     """
     n, cin = x.shape
     cout = w.shape[-1]
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
 
-    def step(acc, inp):
-        idx, valid, wk = inp
-        g = _masked_gather(x, idx, valid)
-        return acc + jnp.dot(g, wk, preferred_element_type=acc.dtype), None
+    if impl == "unroll":
+        terms = []
+        for k in range(27):
+            g = _masked_gather(x, level.nbr_idx[k], level.nbr_valid[k])
+            terms.append(jnp.dot(g, w[k], preferred_element_type=acc_dtype))
+        while len(terms) > 1:  # balanced reduction tree
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        out = terms[0]
+    else:
+        def step(acc, inp):
+            idx, valid, wk = inp
+            g = _masked_gather(x, idx, valid)
+            return acc + jnp.dot(g, wk, preferred_element_type=acc.dtype), None
 
-    acc0 = jnp.zeros((n, cout), dtype=jnp.promote_types(x.dtype, jnp.float32))
-    out, _ = jax.lax.scan(step, acc0, (level.nbr_idx, level.nbr_valid, w))
+        acc0 = jnp.zeros((n, cout), dtype=acc_dtype)
+        out, _ = jax.lax.scan(step, acc0, (level.nbr_idx, level.nbr_valid, w))
     if bias is not None:
         out = out + bias
     out = out * level.valid[:, None].astype(out.dtype)

@@ -76,8 +76,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, example_batch: SceneBatch, seed: int = 0) -> TrainState:
+        from unscene3d_tpu.utils.runtime import init_on_cpu
+
         rngs = {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(seed + 1)}
-        variables = self.model.init(rngs, example_batch, train=False, is_eval=True)
+        variables = init_on_cpu(
+            self.model.init, rngs, example_batch, train=False, is_eval=True
+        )
         params = variables["params"]
         return TrainState(
             step=jnp.zeros((), jnp.int32),

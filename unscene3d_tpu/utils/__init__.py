@@ -1,1 +1,1 @@
-from unscene3d_tpu.utils.runtime import enable_compilation_cache, Timer
+from unscene3d_tpu.utils.runtime import Timer, enable_compilation_cache, init_on_cpu

@@ -20,6 +20,34 @@ def enable_compilation_cache(path: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # make the host CPU backend available next to the TPU plugin so cheap
+    # one-shot work (param init) can compile on CPU instead of paying a
+    # second multi-minute TPU compile
+    try:
+        import os as _os
+
+        plats = _os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
+
+
+def init_on_cpu(init_fn, *args, **kwargs):
+    """Run a flax init on the host CPU backend and transfer the result to the
+    default (TPU) device; avoids compiling the full model twice on TPU."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_fn(*args, **kwargs)
+    with jax.default_device(cpu):
+        variables = init_fn(*args, **kwargs)
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        return variables
+    return jax.tree.map(lambda x: jax.device_put(x, default), variables)
 
 
 class Timer:
