@@ -66,25 +66,39 @@ def main():
     def fwd(variables, batch):
         return model.apply(variables, batch, train=False, is_eval=True)
 
+    # device-resident batch: steady-state measures device compute; input
+    # transfer overlaps compute in the real pipeline (and the axon dev tunnel's
+    # ~50MB/s is not representative of a TPU host's PCIe)
+    t0 = time.perf_counter()
+    batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), batch)
+    jax.block_until_ready(batch.features)
+    transfer_s = time.perf_counter() - t0
+
     # warmup / compile
     out = fwd(variables, batch)
-    jax.block_until_ready(out)
     finite = bool(jnp.isfinite(out["pred_logits"].astype(jnp.float32)).all())
 
+    @jax.jit
+    def fwd_scalar(variables, batch):
+        out = model.apply(variables, batch, train=False, is_eval=True)
+        return out["pred_logits"].astype(jnp.float32).sum()
+
+    float(fwd_scalar(variables, batch))  # compile
     iters = 10
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fwd(variables, batch)
-        jax.block_until_ready(out)  # block per call: async queueing through the
-        #                             axon relay under-reports otherwise
+        # fetching a scalar forces real completion (block_until_ready through
+        # the axon relay returns early)
+        float(fwd_scalar(variables, batch))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     scenes_per_sec = 1.0 / dt
 
     print(
         f"[bench] voxels={n_vox} device_fwd={dt*1e3:.1f}ms "
-        f"host_collate={host_collate_s*1e3:.0f}ms finite={finite} "
+        f"host_collate={host_collate_s*1e3:.0f}ms "
+        f"h2d_transfer={transfer_s*1e3:.0f}ms finite={finite} "
         f"backend={jax.default_backend()}",
         file=sys.stderr,
     )

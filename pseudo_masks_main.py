@@ -41,6 +41,7 @@ def main():
     )
     pipeline = PseudoMaskPipeline(
         modality=cfg.freemask.modality,
+        method=cfg.freemask.get("method", "ncut"),
         ncut_cfg=NCutConfig(
             affinity_tau=float(cfg.freemask.affinity_tau),
             max_number_of_instances=int(cfg.freemask.max_instance_num),

@@ -52,12 +52,16 @@ class FreeMaskCollator:
 
     def __init__(self, voxel_size: float = 0.02, num_levels: int = 5,
                  target_align: int = 8, seg_align: int = 64,
-                 build_triplane: bool = False):
+                 build_triplane: bool = False,
+                 brick_levels: tuple = (0, 1)):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
         self.seg_align = seg_align
         self.build_triplane = build_triplane
+        # dense-brick conv levels (ops/bricks.py): gather-light k3 convs where
+        # voxel counts are largest; set () to force the neighbor-map path
+        self.brick_levels = tuple(brick_levels)
 
     def __call__(self, scenes: list[dict], pads: dict | None = None
                  ) -> tuple[SceneBatch, CollateMeta]:
@@ -102,6 +106,8 @@ class FreeMaskCollator:
             coords_all,
             num_levels=self.num_levels,
             pad_sizes=pads["levels"] if pads else None,
+            brick_levels=self.brick_levels,
+            brick_pads=pads.get("bricks") if pads else None,
         )
         n0_pad = graph.levels[0].num_padded
 
@@ -201,6 +207,8 @@ class FreeMaskCollator:
         """Extract the pad plan realized by a collated batch."""
         return dict(
             levels=[l.num_padded for l in batch.graph.levels],
+            bricks=[(l.brick.num_bricks if l.brick is not None else 0)
+                    for l in batch.graph.levels],
             scene_n=[si.shape[1] for si in batch.scene_idx],
             s_max=batch.seg_valid.shape[1],
             t_max=(batch.target.labels.shape[1] if batch.target is not None else 0),
@@ -212,6 +220,7 @@ class FreeMaskCollator:
     def merge_pad_plans(plans: list[dict]) -> dict:
         return dict(
             levels=[max(p["levels"][i] for p in plans) for i in range(len(plans[0]["levels"]))],
+            bricks=[max(p["bricks"][i] for p in plans) for i in range(len(plans[0]["bricks"]))],
             scene_n=[max(p["scene_n"][i] for p in plans) for i in range(len(plans[0]["scene_n"]))],
             s_max=max(p["s_max"] for p in plans),
             t_max=max(p["t_max"] for p in plans),

@@ -161,11 +161,13 @@ class Mask3D(nn.Module):
         return outputs_class, seg_logits, vox_logits, block_mask
 
     def __call__(self, batch: SceneBatch, train: bool = False, is_eval: bool = False,
-                 return_aux_vox: bool = False):
+                 return_aux_vox: bool = False, debug_stage: str | None = None):
         """return_aux_vox: also stack voxel-level mask logits for every aux
         prediction set (needed only by the noise-robust tri-plane loss, which
         the reference computes per aux output, models/criterion.py:170-179);
-        costs L x N0 x Q memory, so off by default."""
+        costs L x N0 x Q memory, so off by default.
+        debug_stage: profiling aid -- early-return after 'backbone', 'posenc',
+        'queries', or 'round0'."""
         B = batch.batch_size
         S = batch.num_segments_padded
         Q = self.num_queries
@@ -173,6 +175,8 @@ class Mask3D(nn.Module):
         L0 = batch.graph.levels[0]
 
         pcd_features, fpn, _final = self.backbone(batch.features, batch.graph, train=train)
+        if debug_stage == "backbone":
+            return {"pred_logits": pcd_features[None, None]}
 
         # ---- coords pyramid by repeated AvgPooling of raw coords (ref :205-216)
         coords_by_level = [batch.raw_coords]
@@ -193,6 +197,9 @@ class Mask3D(nn.Module):
                 jnp.take(mx, bidx, axis=0)[None],
             )[0]
             pe_by_level.append(pe * lvl.valid[:, None].astype(pe.dtype))
+
+        if debug_stage == "posenc":
+            return {"pred_logits": sum(p.sum() for p in pe_by_level)[None, None, None, None]}
 
         # ---- mask features + segment pooling (ref :218-223)
         mask_features = self.mask_features_head(pcd_features)
@@ -245,6 +252,10 @@ class Mask3D(nn.Module):
             queries = jnp.tile(self.query_feat[None], (B, 1, 1))
             query_pos = jnp.tile(self.query_pos_embed[None], (B, 1, 1))
             sampled_coords = None
+
+        if debug_stage == "queries":
+            return {"pred_logits": (queries.sum() + query_pos.sum()
+                                    + mask_segments.sum())[None, None, None, None]}
 
         predictions_class = []
         predictions_seg = []

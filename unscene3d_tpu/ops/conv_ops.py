@@ -38,6 +38,11 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
     reduction tree (lets XLA overlap gathers with MXU work at the cost of
     transient memory).
     """
+    if level.brick is not None:
+        from unscene3d_tpu.ops.bricks import brick_conv3
+
+        return brick_conv3(x, w, level.brick, level, bias)
+
     n, cin = x.shape
     cout = w.shape[-1]
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)

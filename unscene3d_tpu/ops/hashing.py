@@ -81,11 +81,16 @@ class CoordHashTable:
         index is the row in the original coords array (undefined where
         found == False).
         """
-        qk = ravel_hash(coords)
-        pos = np.searchsorted(self.sorted_keys, qk)
-        pos_clipped = np.minimum(pos, max(self.n - 1, 0))
+        return self.lookup_keys(ravel_hash(coords))
+
+    def lookup_keys(self, qk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Lookup by precomputed ravel_hash keys (key fields are disjoint bit
+        ranges, so neighbors can be enumerated with pure key arithmetic)."""
+        qk = qk.reshape(-1)
         if self.n == 0:
-            return np.zeros(len(coords), dtype=np.int64), np.zeros(len(coords), dtype=bool)
+            return np.zeros(len(qk), dtype=np.int64), np.zeros(len(qk), dtype=bool)
+        pos = np.searchsorted(self.sorted_keys, qk)
+        pos_clipped = np.minimum(pos, self.n - 1)
         found = self.sorted_keys[pos_clipped] == qk
         idx = self.order[pos_clipped]
         return idx, found

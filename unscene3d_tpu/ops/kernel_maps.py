@@ -108,32 +108,40 @@ def _pad_level(
     parent_idx: np.ndarray,
     parent_offset: np.ndarray,
     n_pad: int,
+    finer_n_pad: int,
+    coarser_n_pad: int,
+    stub_nbr: bool = False,
 ) -> LevelGraph:
+    """Missing/padded map entries point at the respective level's LAST row,
+    which bucketing guarantees to be padding -- validity is then derivable on
+    device (LevelGraph.nbr_valid/child_valid properties) and the bool masks
+    never cross the host->device link."""
     n = len(coords)
-    assert n_pad >= n
+    assert n_pad > n, "bucketing must leave at least one padding row"
 
-    def pad2(a, fill=0):
-        out = np.full((a.shape[0], n_pad), fill, dtype=a.dtype)
-        out[:, :n] = a
+    def pad2(idx, valid, fill):
+        out = np.full((idx.shape[0], n_pad), fill, dtype=np.int32)
+        out[:, :n] = np.where(valid, idx, fill)
         return out
 
     coords_p = np.zeros((n_pad, 4), dtype=np.int32)
     coords_p[:n] = coords
     valid = np.zeros(n_pad, dtype=bool)
     valid[:n] = True
-    parent_idx_p = np.zeros(n_pad, dtype=np.int32)
+    parent_idx_p = np.full(n_pad, max(coarser_n_pad - 1, 0), dtype=np.int32)
     parent_idx_p[:n] = parent_idx
     parent_off_p = np.zeros(n_pad, dtype=np.int32)
     parent_off_p[:n] = parent_offset
+    nbr_p = (np.full((27, 1), n_pad - 1, np.int32) if stub_nbr
+             else pad2(nbr_idx, nbr_valid, n_pad - 1))
     return LevelGraph(
         coords=coords_p,
         valid=valid,
-        nbr_idx=pad2(nbr_idx),
-        nbr_valid=pad2(nbr_valid),
-        child_idx=pad2(child_idx),
-        child_valid=pad2(child_valid),
+        nbr_idx=nbr_p,
+        child_idx=pad2(child_idx, child_valid, max(finer_n_pad - 1, 0)),
         parent_idx=parent_idx_p,
         parent_offset=parent_off_p,
+        finer_num_padded=finer_n_pad,
     )
 
 
@@ -142,6 +150,8 @@ def build_sparse_graph(
     num_levels: int = 5,
     pad_sizes: list[int] | None = None,
     build_nbr_maps: bool = True,
+    brick_levels: tuple = (),
+    brick_pads: list[int] | None = None,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
 
@@ -150,6 +160,8 @@ def build_sparse_graph(
       `bucket_size` of each level's voxel count.
     build_nbr_maps: skip the (more expensive) k3 maps when only pooling
       topology is needed.
+    brick_levels: levels whose k3 convs run in dense-brick mode
+      (ops/bricks.py); their 27-way neighbor maps are skipped entirely.
     """
     coords = np.asarray(coords, dtype=np.int64)
     level_coords = [coords]
@@ -162,16 +174,19 @@ def build_sparse_graph(
         child_idxs.append(c_idx)
         child_valids.append(c_valid)
 
+    pads = [
+        pad_sizes[li] if pad_sizes is not None else bucket_size(len(level_coords[li]) + 1)
+        for li in range(num_levels)
+    ]
     levels = []
     for li in range(num_levels):
         lc = level_coords[li].astype(np.int32)
         n = len(lc)
-        n_pad = pad_sizes[li] if pad_sizes is not None else bucket_size(n + 1)
-        if build_nbr_maps:
+        if build_nbr_maps and li not in brick_levels:
             nbr_idx, nbr_valid = build_neighbor_map(lc)
         else:
-            nbr_idx = np.zeros((27, n), dtype=np.int32)
-            nbr_valid = np.zeros((27, n), dtype=bool)
+            nbr_idx = np.zeros((27, 0), dtype=np.int32)
+            nbr_valid = np.zeros((27, 0), dtype=bool)
         if li == 0:
             c_idx = np.zeros((8, n), dtype=np.int32)
             c_valid = np.zeros((8, n), dtype=bool)
@@ -182,7 +197,19 @@ def build_sparse_graph(
             p_off = np.zeros(n, dtype=np.int32)
         else:
             p_idx, p_off = parent_idxs[li], parent_offs[li]
-        levels.append(
-            _pad_level(lc, nbr_idx, nbr_valid, c_idx, c_valid, p_idx, p_off, n_pad)
+        lvl = _pad_level(
+            lc, nbr_idx, nbr_valid, c_idx, c_valid, p_idx, p_off,
+            n_pad=pads[li],
+            finer_n_pad=pads[li - 1] if li > 0 else 1,
+            coarser_n_pad=pads[li + 1] if li < num_levels - 1 else 1,
+            stub_nbr=(li in brick_levels or not build_nbr_maps),
         )
+        if li in brick_levels:
+            from unscene3d_tpu.ops.bricks import build_brick_map
+
+            lvl = lvl.replace(brick=build_brick_map(
+                np.asarray(lvl.coords), np.asarray(lvl.valid),
+                nb_pad=brick_pads[li] if brick_pads else None,
+            ))
+        levels.append(lvl)
     return SparseGraph(levels=tuple(levels))

@@ -28,22 +28,38 @@ class LevelGraph:
 
     coords: jnp.ndarray        # (N, 4) int32 [batch, x, y, z] unit coords
     valid: jnp.ndarray         # (N,) bool
-    # kernel-size-3 neighborhood (27 offsets, z fastest, center at 13)
+    # kernel-size-3 neighborhood (27 offsets, z fastest, center at 13).
+    # Missing neighbors point at row N-1, which is always a padding row
+    # (collation buckets to > nnz), so validity masks are DERIVED on device
+    # instead of shipped host->device (the tunnel is the bottleneck).
     nbr_idx: jnp.ndarray       # (27, N) int32 index into this level
-    nbr_valid: jnp.ndarray     # (27, N) bool
     # stride-2 downsample topology (kernel_size=2, stride=2 semantics)
     # children of each voxel at this level in the PREVIOUS (finer) level;
-    # zeros at level 0.
+    # missing children point at the finer level's last (padding) row.
     child_idx: jnp.ndarray     # (8, N) int32 index into finer level
-    child_valid: jnp.ndarray   # (8, N) bool
     # parent of each voxel at this level in the NEXT (coarser) level;
-    # zeros at the coarsest level.
+    # padding rows point at the coarser level's last row.
     parent_idx: jnp.ndarray    # (N,) int32 index into coarser level
     parent_offset: jnp.ndarray  # (N,) int32 in [0, 8) = kernel offset id
+    # number of padded rows in the PREVIOUS (finer) level, for deriving
+    # child validity (static)
+    finer_num_padded: int = struct.field(pytree_node=False, default=0)
+    # optional dense-brick map for gather-light k3 convs (ops/bricks.py);
+    # when present, k3 convs at this level skip the 27-way neighbor gather
+    # and nbr_idx is a (27, 1) stub to keep host->device transfers small
+    brick: object = None
 
     @property
     def num_padded(self) -> int:
         return self.coords.shape[0]
+
+    @property
+    def nbr_valid(self) -> jnp.ndarray:
+        return self.nbr_idx != (self.num_padded - 1)
+
+    @property
+    def child_valid(self) -> jnp.ndarray:
+        return self.child_idx != (self.finer_num_padded - 1)
 
 
 @struct.dataclass

@@ -25,6 +25,7 @@ class PseudoMaskPipeline:
     def __init__(
         self,
         modality: str = "geom",            # 'geom' | 'color' | 'both'
+        method: str = "ncut",              # 'ncut' | 'query' (freemask_main)
         ncut_cfg: NCutConfig | None = None,
         csc_weights: str | None = None,
         dino_weights: str | None = None,
@@ -35,6 +36,7 @@ class PseudoMaskPipeline:
         reference_average: bool = True,
     ):
         self.modality = modality
+        self.method = method
         self.cfg = ncut_cfg or NCutConfig()
         self.aggregation_mode = aggregation_mode
         self.voxel_size = voxel_size
@@ -133,7 +135,30 @@ class PseudoMaskPipeline:
                 coords=s["coords"][:, -3:].astype(np.float32),
             ))
 
-        bipartitions = BatchedNCut(self.cfg).run(ncut_inputs) if ncut_inputs else []
+        if self.method == "query":
+            from unscene3d_tpu.ops.segment_ops import segment_mean
+            import jax.numpy as jnp
+
+            from unscene3d_tpu.pseudo.freemask_query import freemask_query_masks
+
+            bipartitions = []
+            for inp in ncut_inputs:
+                f = inp["features"]
+                f = f[0] if isinstance(f, tuple) else f
+                uniq = inp["unique_segments"]
+                local = np.searchsorted(uniq, inp["segment_ids"])
+                seg_coords = np.asarray(segment_mean(
+                    jnp.asarray(inp["coords"]), jnp.asarray(local.astype(np.int32)),
+                    len(uniq)))
+                extent = inp["coords"].max(0) - inp["coords"].min(0)
+                masks, _ = freemask_query_masks(
+                    np.asarray(f), uniq, inp["connectivity"], seg_coords, extent,
+                    instance_to_scene_max_ratio=self.cfg.max_extent_ratio,
+                    max_instance_num=self.cfg.max_number_of_instances,
+                )
+                bipartitions.append(masks)
+        else:
+            bipartitions = BatchedNCut(self.cfg).run(ncut_inputs) if ncut_inputs else []
 
         results = {}
         for s, inp, bip in zip(todo, ncut_inputs, bipartitions):

@@ -53,15 +53,26 @@ class CSVLogger:
 
 class Prefetcher:
     """Single-worker thread prefetch of collated batches (the reference uses
-    DataLoader worker processes; collation here is fast numpy + C++)."""
+    DataLoader worker processes; collation here is fast numpy + C++). The
+    worker also issues the async host->device transfer so it overlaps the
+    previous step's compute."""
 
-    def __init__(self, make_batch_fn, num_batches: int, depth: int = 2):
+    def __init__(self, make_batch_fn, num_batches: int, depth: int = 2,
+                 to_device: bool = True):
+        import jax
+        import jax.numpy as jnp
+
         self.q = queue.Queue(maxsize=depth)
         self.n = num_batches
 
         def worker():
             for i in range(num_batches):
-                self.q.put(make_batch_fn(i))
+                batch = make_batch_fn(i)
+                if to_device:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(jnp.asarray(x)), batch
+                    )
+                self.q.put(batch)
 
         self.t = threading.Thread(target=worker, daemon=True)
         self.t.start()
@@ -152,8 +163,9 @@ class Experiment:
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = None
-            for it in range(self.steps_per_epoch):
-                batch = self._train_batch(rng_np)
+            batches = Prefetcher(lambda i: self._train_batch(rng_np),
+                                 self.steps_per_epoch)
+            for batch in batches:
                 rng, sub = jax.random.split(rng)
                 state, losses = step_fn(state, batch, sub)
             dt = time.time() - t0
