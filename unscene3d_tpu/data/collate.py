@@ -53,14 +53,16 @@ class FreeMaskCollator:
     def __init__(self, voxel_size: float = 0.02, num_levels: int = 5,
                  target_align: int = 8, seg_align: int = 64,
                  build_triplane: bool = False,
-                 brick_levels: tuple = (0, 1)):
+                 brick_levels: tuple = ()):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
         self.seg_align = seg_align
         self.build_triplane = build_triplane
-        # dense-brick conv levels (ops/bricks.py): gather-light k3 convs where
-        # voxel counts are largest; set () to force the neighbor-map path
+        # dense-brick conv levels (ops/bricks.py). A same-process A/B on the
+        # dev chip measured the full forward at 492ms (bricks at L0-1) vs
+        # 386ms (27-way gather): XLA's dense conv on 10^3 bricks loses more
+        # than the gather rows save, so the gather path is the default.
         self.brick_levels = tuple(brick_levels)
 
     def __call__(self, scenes: list[dict], pads: dict | None = None
