@@ -191,10 +191,11 @@ class Experiment:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, state, dataset, save_for_freemask: bool = False,
-                 max_scenes: int | None = None) -> dict:
+                 max_scenes: int | None = None, with_boxes: bool = True) -> dict:
         cfg = self.cfg
         eval_fn = self.trainer.build_eval_step()
         preds, gts = {}, {}
+        bbox_preds, bbox_gt = {}, {}
         n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
         for i in range(n):
             scene = dataset[i]
@@ -220,6 +221,15 @@ class Experiment:
             preds[name] = {"masks": p["masks"], "classes": p["classes"],
                            "scores": p["scores"]}
             gts[name] = self._gt_ids(scene)
+            if with_boxes:
+                from unscene3d_tpu.eval.box_eval import boxes_from_masks
+
+                coords = meta.full_res_coords[0]
+                bbox_preds[name] = boxes_from_masks(
+                    coords, p["masks"], p["classes"], p["scores"])
+                gt_masks = np.asarray(scene["masks"], bool)
+                bbox_gt[name] = boxes_from_masks(
+                    coords, gt_masks, np.ones(gt_masks.shape[1], np.int64))
             if save_for_freemask:
                 out_dir = os.path.join(self.save_dir, "freemasks")
                 os.makedirs(out_dir, exist_ok=True)
@@ -227,7 +237,15 @@ class Experiment:
                         meta.full_res_coords[0])
                 np.save(os.path.join(out_dir, f"{name}_masks.npy"),
                         p["masks"].astype(bool))
-        return evaluate_instances(preds, gts, min_region_size=10)
+        results = evaluate_instances(preds, gts, min_region_size=10)
+        if with_boxes and bbox_preds:
+            # VOC box AP at IoU .25/.5 (reference trainer/trainer.py:791-796)
+            from unscene3d_tpu.eval.box_eval import eval_det
+
+            for th, key in ((0.25, "val_box_ap_25"), (0.5, "val_box_ap_50")):
+                _, ap = eval_det(bbox_preds, bbox_gt, ovthresh=th)
+                results[key] = float(np.mean(list(ap.values()))) if ap else 0.0
+        return results
 
     @staticmethod
     def _gt_ids(scene: dict) -> np.ndarray:
