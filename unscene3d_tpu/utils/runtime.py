@@ -22,13 +22,18 @@ def enable_compilation_cache(path: str | None = None):
         pass
     # make the host CPU backend available next to the TPU plugin so cheap
     # one-shot work (param init) can compile on CPU instead of paying a
-    # second multi-minute TPU compile
+    # second multi-minute TPU compile. NEVER override an explicit
+    # jax_platforms config (e.g. the test suite forcing 'cpu').
     try:
         import os as _os
 
-        plats = _os.environ.get("JAX_PLATFORMS", "")
-        if plats and "cpu" not in plats:
-            jax.config.update("jax_platforms", plats + ",cpu")
+        current = jax.config.jax_platforms
+        if current is None or current == "":
+            plats = _os.environ.get("JAX_PLATFORMS", "")
+            if plats and "cpu" not in plats:
+                jax.config.update("jax_platforms", plats + ",cpu")
+        elif "cpu" not in current and current:
+            jax.config.update("jax_platforms", current + ",cpu")
     except Exception:
         pass
 
