@@ -14,16 +14,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def timeit(f, *args, n=10):
+def timeit(f, *args, n=8):
+    """Per-call scalar-fetch timing: block_until_ready through the axon relay
+    returns early, so we force completion by fetching a scalar."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    def scalarize(out):
+        leaves = jax.tree.leaves(out)
+        return float(leaves[0].reshape(-1)[0])
+
+    scalarize(f(*args))
+    ts = []
     for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        scalarize(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def setup(num_points=250_000):
@@ -81,12 +89,16 @@ def main():
         state = trainer.init_state(tb)
         step = trainer.build_train_step()
         rng = jax.random.PRNGKey(0)
+        tb = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), tb)
         state, _ = step(state, tb, rng)  # compile
-        t0 = time.perf_counter()
+        ts = []
         for i in range(5):
+            t0 = time.perf_counter()
             state, losses = step(state, tb, jax.random.fold_in(rng, i))
-        jax.block_until_ready(losses["total"])
-        print(f"train step (4 scenes x ~40k vox): {(time.perf_counter()-t0)/5*1e3:.0f}ms")
+            float(losses["total"])
+            ts.append(time.perf_counter() - t0)
+        import numpy as _np
+        print(f"train step (4 scenes x ~40k vox): {_np.median(ts)*1e3:.0f}ms")
 
     if which in ("ncut", "all"):
         from unscene3d_tpu.pseudo.ncut import BatchedNCut, NCutConfig

@@ -12,6 +12,18 @@ from unscene3d_tpu.models.backbone import (
     Res16UNetBase,
 )
 from unscene3d_tpu.models.mask3d import Mask3D
+from unscene3d_tpu.models.resunet import (
+    MinkUNetBase,
+    ResNet14,
+    ResNet18,
+    ResNet34,
+    ResNetBase,
+    ResUNet14,
+    ResUNet14A,
+    ResUNet18,
+    ResUNet18A,
+    ResUNet34,
+)
 
 _MODELS = {
     "Res16UNet14A": Res16UNet14A,
@@ -22,6 +34,14 @@ _MODELS = {
     "Res16UNet34C": Res16UNet34C,
     "Res16UNet34D": Res16UNet34D,
     "Mask3D": Mask3D,
+    "ResUNet14": ResUNet14,
+    "ResUNet14A": ResUNet14A,
+    "ResUNet18": ResUNet18,
+    "ResUNet18A": ResUNet18A,
+    "ResUNet34": ResUNet34,
+    "ResNet14": ResNet14,
+    "ResNet18": ResNet18,
+    "ResNet34": ResNet34,
 }
 
 

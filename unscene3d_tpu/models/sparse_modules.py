@@ -56,6 +56,12 @@ class SparseConv(nn.Module):
         if self.kind == "up2":
             w = self.param("kernel", _conv_init, (8, cin, cout))
             return conv_ops.sparse_conv_up2(x, w.astype(self.dtype), level, bias)
+        if self.kind == "k3down2":
+            w = self.param("kernel", _conv_init, (27, cin, cout))
+            return conv_ops.sparse_conv3_down2(x, w.astype(self.dtype), level, bias)
+        if self.kind == "k1down2":
+            w = self.param("kernel", _conv_init, (cin, cout))
+            return conv_ops.sparse_conv1_down2(x, w.astype(self.dtype), level, bias)
         raise ValueError(f"unknown conv kind {self.kind!r}")
 
 
@@ -105,16 +111,23 @@ class SparseBatchNorm(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """Residual basic block (reference models/modules/resnet_block.py:7-64)."""
+    """Residual basic block (reference models/modules/resnet_block.py:7-64).
+
+    stride=2 strides with a k3 conv into `level` (the coarse LevelGraph),
+    with a k1-stride-2 shortcut -- the MinkUNet/ResNet stage pattern
+    (reference models/resnet.py:96-133). stride=1 operates within `level`.
+    """
 
     planes: int
     bn_momentum: float = 0.02
+    stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, level: LevelGraph, train: bool) -> jnp.ndarray:
         residual = x
-        out = SparseConv(self.planes, "k3", dtype=self.dtype, name="conv1")(x, level)
+        kind1 = "k3down2" if self.stride == 2 else "k3"
+        out = SparseConv(self.planes, kind1, dtype=self.dtype, name="conv1")(x, level)
         out = SparseBatchNorm(self.bn_momentum, dtype=self.dtype, name="norm1")(
             out, level.valid, train
         )
@@ -123,8 +136,9 @@ class BasicBlock(nn.Module):
         out = SparseBatchNorm(self.bn_momentum, dtype=self.dtype, name="norm2")(
             out, level.valid, train
         )
-        if x.shape[-1] != self.planes:
-            residual = SparseConv(self.planes, "k1", dtype=self.dtype, name="downsample_conv")(
+        if x.shape[-1] != self.planes or self.stride != 1:
+            skind = "k1down2" if self.stride == 2 else "k1"
+            residual = SparseConv(self.planes, skind, dtype=self.dtype, name="downsample_conv")(
                 x, level
             )
             residual = SparseBatchNorm(

@@ -132,12 +132,55 @@ def sparse_conv_up2(x: jnp.ndarray, w: jnp.ndarray, fine: LevelGraph,
     return out.astype(x.dtype)
 
 
+def sparse_conv3_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
+                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """kernel_size=3, STRIDE-2 conv (MinkUNet/ResNet stage convs): fine ->
+    coarse level via the coarse level's down_nbr map. x: (N_fine, Cin),
+    w: (27, Cin, Cout)."""
+    cout = w.shape[-1]
+    n_out = coarse.num_padded
+
+    def step(acc, inp):
+        idx, valid, wk = inp
+        g = _masked_gather(x, idx, valid)
+        return acc + jnp.dot(g, wk, preferred_element_type=acc.dtype), None
+
+    acc0 = jnp.zeros((n_out, cout), dtype=jnp.promote_types(x.dtype, jnp.float32))
+    out, _ = jax.lax.scan(
+        step, acc0, (coarse.down_nbr_idx, coarse.down_nbr_valid, w)
+    )
+    if bias is not None:
+        out = out + bias
+    out = out * coarse.valid[:, None].astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def sparse_conv1_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
+                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """kernel_size=1, stride-2 conv (MinkUNet downsample shortcut): the coarse
+    voxel takes the fine voxel at exactly 2*coord (kernel-2 offset 0)."""
+    g = _masked_gather(x, coarse.child_idx[0], coarse.child_valid[0])
+    out = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    out = out * coarse.valid[:, None].astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def avg_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:
     """MinkowskiAvgPooling(kernel_size=2, stride=2): mean over valid children."""
     g = _masked_gather(x, coarse.child_idx, coarse.child_valid)  # (8, Nc, C)
     s = g.sum(axis=0)
     cnt = coarse.child_valid.sum(axis=0).astype(x.dtype)
     out = s / jnp.maximum(cnt, 1.0)[:, None]
+    return out * coarse.valid[:, None].astype(x.dtype)
+
+
+def sum_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:
+    """Minkowski sum_pool(kernel_size=2, stride=2) (reference ResNet stem,
+    models/resnet.py:49-51)."""
+    g = _masked_gather(x, coarse.child_idx, coarse.child_valid)
+    out = g.sum(axis=0)
     return out * coarse.valid[:, None].astype(x.dtype)
 
 

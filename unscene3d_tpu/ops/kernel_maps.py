@@ -145,6 +145,25 @@ def _pad_level(
     )
 
 
+def build_down_neighbor_map(coarse_coords: np.ndarray, fine_coords: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """kernel_size=3 STRIDE-2 map: for each coarse voxel c, the fine voxel at
+    2*c + offset for the 27 offsets (MinkUNet-style strided stage convs)."""
+    table = CoordHashTable(fine_coords)
+    n = len(coarse_coords)
+    idx = np.zeros((27, n), dtype=np.int32)
+    valid = np.zeros((27, n), dtype=bool)
+    query = np.asarray(coarse_coords, np.int64).copy()
+    base = query.copy()
+    base[:, 1:] *= 2
+    for k, off in enumerate(KERNEL3_OFFSETS):
+        query[:, 1:] = base[:, 1:] + off
+        i, f = table.lookup(query)
+        idx[k] = np.where(f, i, 0).astype(np.int32)
+        valid[k] = f
+    return idx, valid
+
+
 def build_sparse_graph(
     coords: np.ndarray,
     num_levels: int = 5,
@@ -152,6 +171,7 @@ def build_sparse_graph(
     build_nbr_maps: bool = True,
     brick_levels: tuple = (),
     brick_pads: list[int] | None = None,
+    build_down_nbr_maps: bool = False,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
 
@@ -211,5 +231,13 @@ def build_sparse_graph(
                 np.asarray(lvl.coords), np.asarray(lvl.valid),
                 nb_pad=brick_pads[li] if brick_pads else None,
             ))
+        if build_down_nbr_maps and li > 0:
+            d_idx, d_valid = build_down_neighbor_map(lc, level_coords[li - 1])
+            fill = pads[li - 1] - 1
+            dn = np.full((27, pads[li]), fill, np.int32)
+            dn[:, :n] = np.where(d_valid, d_idx, fill)
+            lvl = lvl.replace(down_nbr_idx=dn)
+        else:
+            lvl = lvl.replace(down_nbr_idx=np.full((27, 1), max(pads[li - 1] - 1, 0) if li > 0 else 0, np.int32))
         levels.append(lvl)
     return SparseGraph(levels=tuple(levels))

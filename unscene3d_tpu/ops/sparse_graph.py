@@ -48,6 +48,11 @@ class LevelGraph:
     # when present, k3 convs at this level skip the 27-way neighbor gather
     # and nbr_idx is a (27, 1) stub to keep host->device transfers small
     brick: object = None
+    # optional kernel-size-3 STRIDE-2 map: for each voxel at THIS level, the
+    # finer-level voxel at 2*coord + offset (27 offsets). Needed only by the
+    # MinkUNet/ResNet families whose stage blocks stride with k3 convs
+    # (reference models/resnet.py:96-133); (27, 1) stub otherwise.
+    down_nbr_idx: jnp.ndarray | None = None
 
     @property
     def num_padded(self) -> int:
@@ -60,6 +65,10 @@ class LevelGraph:
     @property
     def child_valid(self) -> jnp.ndarray:
         return self.child_idx != (self.finer_num_padded - 1)
+
+    @property
+    def down_nbr_valid(self) -> jnp.ndarray:
+        return self.down_nbr_idx != (self.finer_num_padded - 1)
 
 
 @struct.dataclass
