@@ -33,6 +33,67 @@ from unscene3d_tpu.ops.fps import furthest_point_sample_batch
 from unscene3d_tpu.ops.segment_ops import segment_max, segment_mean
 
 
+
+
+def _sample_level(batch, hlevel, sample_size, max_sample_size, is_eval, rng):
+    """Per-scene point subsampling at aux level hlevel (ref :295-346).
+    Returns (flat row indices (B, P), validity (B, P))."""
+    glevel = 4 - hlevel
+    scene_idx = batch.scene_idx[glevel]
+    scene_valid = batch.scene_valid[glevel]
+    n_max = scene_idx.shape[1]
+    if max_sample_size or is_eval or n_max <= sample_size:
+        return scene_idx, scene_valid
+    scores = jax.random.uniform(rng, scene_valid.shape)
+    scores = jnp.where(scene_valid, scores, -jnp.inf)
+    _, sel_cols = jax.lax.top_k(scores, sample_size)
+    return (jnp.take_along_axis(scene_idx, sel_cols, axis=1),
+            jnp.take_along_axis(scene_valid, sel_cols, axis=1))
+
+
+def _attend_level(layers, queries, query_pos, block_mask, batch, fpn_feats,
+                  pe_level, sel_flat, sel_valid, level_embed, dtype):
+    """One masked cross-attn + self-attn + FFN step (ref :334-373)."""
+    cross, self_attn, ffn, squeeze = layers
+    batched_aux = jnp.take(fpn_feats, sel_flat, axis=0)
+    batched_pe = jnp.take(pe_level, sel_flat, axis=0)
+    blocked = jnp.take(block_mask, sel_flat, axis=0)  # (B, P, Q)
+
+    # un-mask queries that mask out every sampled point (ref :346)
+    all_blocked = blocked.sum(axis=1) == blocked.shape[1]
+    blocked = jnp.where(all_blocked[:, None, :], False, blocked)
+    blocked = jnp.logical_or(blocked, ~sel_valid[..., None])
+
+    src = squeeze(batched_aux.astype(dtype))
+    if level_embed is not None:
+        src = src + level_embed
+    attn_block = jnp.swapaxes(blocked, 1, 2)
+    q = cross(queries, src, block_mask=attn_block, pos=batched_pe,
+              query_pos=query_pos)
+    q = self_attn(q, query_pos=query_pos)
+    return ffn(q)
+
+
+def _seg_and_vox_logits(mask_embed, mask_segments, batch, attn_target_level):
+    """Segment + voxel mask logits and the pooled attention block-mask
+    (ref mask_module :407-446). mask_embed: (B, Q, D)."""
+    B = batch.batch_size
+    S = batch.num_segments_padded
+    seg_logits = jnp.einsum("bsd,bqd->bsq", mask_segments, mask_embed)
+    seg_logits = seg_logits * batch.seg_valid[..., None].astype(seg_logits.dtype)
+    seg_flat = batch.batch_idx * S + batch.point2segment
+    vox_logits = jnp.take(
+        seg_logits.reshape(B * S, -1), seg_flat, axis=0
+    ) * batch.valid[:, None].astype(seg_logits.dtype)
+    block_mask = None
+    if attn_target_level is not None:
+        pooled = vox_logits
+        for lv in range(1, attn_target_level + 1):
+            pooled = conv_ops.avg_pool2(pooled, batch.graph.levels[lv])
+        block_mask = jax.nn.sigmoid(jax.lax.stop_gradient(pooled)) < 0.5
+    return seg_logits, vox_logits, block_mask
+
+
 def per_scene_min_max(x, batch_idx, valid, num_scenes):
     """Per-scene min/max over valid rows of a flat (N, D) array."""
     mx = segment_max(x, batch_idx, num_scenes, valid)
@@ -67,6 +128,11 @@ class Mask3D(nn.Module):
     random_normal: bool = False
     use_np_features: bool = False
     voxel_size: float = 0.02
+    # roll the shared decoder rounds into one lax.scan body: ~3x smaller HLO
+    # (the full train-step remote compile otherwise exceeds 20 minutes); the
+    # extra scan iteration's first mask-head output IS the final full-res
+    # prediction, since mask logits are independent of the attention target
+    scan_decoder: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -257,68 +323,92 @@ class Mask3D(nn.Module):
             return {"pred_logits": (queries.sum() + query_pos.sum()
                                     + mask_segments.sum())[None, None, None, None]}
 
-        predictions_class = []
-        predictions_seg = []
-        predictions_vox = []
-
-        num_levels = len(self.hlevels)
-        for d in range(self.num_decoders):
-            dd = 0 if self.shared_decoder else d
-            for i, hlevel in enumerate(self.hlevels):
+        def run_round(mdl, q_in, dd, collect_vox):
+            preds_c, preds_s, preds_v = [], [], []
+            q = q_in
+            for i, hlevel in enumerate(mdl.hlevels):
                 glevel = 4 - hlevel  # graph level of aux[hlevel]
-                out_class, seg_logits, vox_logits, block_mask = self._mask_module(
-                    queries, mask_segments, batch, attn_target_level=glevel
+                out_class, seg_logits, vox_logits, block_mask = mdl._mask_module(
+                    q, mask_segments, batch, attn_target_level=glevel
                 )
-                predictions_class.append(out_class)
-                predictions_seg.append(seg_logits)
+                preds_c.append(out_class)
+                preds_s.append(seg_logits)
+                if collect_vox:
+                    preds_v.append(vox_logits)
+                needs_rng = not (mdl.max_sample_size or is_eval
+                                 or batch.scene_idx[glevel].shape[1]
+                                 <= mdl.sample_sizes[hlevel])
+                rng = mdl.make_rng("sample") if needs_rng else None
+                sel_flat, sel_valid = _sample_level(
+                    batch, hlevel, mdl.sample_sizes[hlevel],
+                    mdl.max_sample_size, is_eval, rng)
+                layers = (mdl.cross_attention[dd][i], mdl.self_attention[dd][i],
+                          mdl.ffn[dd][i], mdl.lin_squeeze[dd][i])
+                q = _attend_level(
+                    layers, q, query_pos, block_mask, batch, fpn[hlevel],
+                    pe_by_level[glevel], sel_flat, sel_valid,
+                    mdl.level_embed[i] if mdl.use_level_embed else None,
+                    mdl.dtype)
+            return q, preds_c, preds_s, preds_v
+
+        if self.shared_decoder and self.scan_decoder:
+            # scan over decoder rounds: one compiled body instead of
+            # num_decoders unrolled copies; iteration num_decoders computes
+            # the final prediction (its attention output is discarded)
+            def round_body(mdl, q_in, flag):
+                q, pc, ps, pv = run_round(mdl, q_in, 0, return_aux_vox)
+                q_out = jnp.where(flag, q, q_in)
+                outs = (jnp.stack(pc), jnp.stack(ps))
                 if return_aux_vox:
-                    predictions_vox.append(vox_logits)
+                    outs = outs + (jnp.stack(pv),)
+                return q_out, outs
 
-                lvl = batch.graph.levels[glevel]
-                scene_idx = batch.scene_idx[glevel]
-                scene_valid = batch.scene_valid[glevel]
-                n_max = scene_idx.shape[1]
+            scanned = nn.scan(
+                round_body,
+                variable_broadcast="params",
+                split_rngs={"params": False, "sample": True},
+                in_axes=0, out_axes=0,
+                length=self.num_decoders + 1,
+            )
+            flags = jnp.concatenate([
+                jnp.ones((self.num_decoders,), bool), jnp.zeros((1,), bool)
+            ])
+            _, outs = scanned(self, queries, flags)
+            pc = outs[0]  # (R+1, 4, B, Q, C)
+            ps = outs[1]
+            R = self.num_decoders
+            predictions_class = list(pc[:R].reshape((-1,) + pc.shape[2:]))
+            predictions_class.append(pc[R, 0])
+            predictions_seg = list(ps[:R].reshape((-1,) + ps.shape[2:]))
+            predictions_seg.append(ps[R, 0])
+            if return_aux_vox:
+                pv = outs[2]
+                predictions_vox = list(pv[:R].reshape((-1,) + pv.shape[2:]))
+                predictions_vox.append(pv[R, 0])
+            else:
+                # final voxel logits from the final segment logits
+                seg_flat = batch.batch_idx * S + batch.point2segment
+                vox_final = jnp.take(
+                    predictions_seg[-1].reshape(B * S, -1), seg_flat, axis=0
+                ) * batch.valid[:, None].astype(predictions_seg[-1].dtype)
+                predictions_vox = [vox_final]
+        else:
+            predictions_class = []
+            predictions_seg = []
+            predictions_vox = []
+            for d in range(self.num_decoders):
+                dd = 0 if self.shared_decoder else d
+                queries, pc, ps, pv = run_round(self, queries, dd, return_aux_vox)
+                predictions_class.extend(pc)
+                predictions_seg.extend(ps)
+                predictions_vox.extend(pv)
 
-                if self.max_sample_size or is_eval or n_max <= self.sample_sizes[hlevel]:
-                    sel_flat, sel_valid = scene_idx, scene_valid
-                else:
-                    P = self.sample_sizes[hlevel]
-                    rng = self.make_rng("sample")
-                    scores = jax.random.uniform(rng, (B, n_max))
-                    scores = jnp.where(scene_valid, scores, -jnp.inf)
-                    _, sel_cols = jax.lax.top_k(scores, P)
-                    sel_flat = jnp.take_along_axis(scene_idx, sel_cols, axis=1)
-                    sel_valid = jnp.take_along_axis(scene_valid, sel_cols, axis=1)
-
-                feats = fpn[hlevel]
-                batched_aux = jnp.take(feats, sel_flat, axis=0)        # (B, P, C)
-                batched_pe = jnp.take(pe_by_level[glevel], sel_flat, axis=0)
-                blocked = jnp.take(block_mask, sel_flat, axis=0)       # (B, P, Q)
-
-                # un-mask queries that mask out every sampled point (ref :346)
-                all_blocked = blocked.sum(axis=1) == blocked.shape[1]  # (B, Q)
-                blocked = jnp.where(all_blocked[:, None, :], False, blocked)
-                # padding: never attend to invalid sampled points (ref :348-349)
-                blocked = jnp.logical_or(blocked, ~sel_valid[..., None])
-
-                src = self.lin_squeeze[dd][i](batched_aux.astype(self.dtype))
-                if self.use_level_embed:
-                    src = src + self.level_embed[i]
-
-                attn_block = jnp.swapaxes(blocked, 1, 2)  # (B, Q, P)
-                queries = self.cross_attention[dd][i](
-                    queries, src, block_mask=attn_block, pos=batched_pe,
-                    query_pos=query_pos,
-                )
-                queries = self.self_attention[dd][i](queries, query_pos=query_pos)
-                queries = self.ffn[dd][i](queries)
-
-        out_class, seg_logits, vox_logits, _ = self._mask_module(
-            queries, mask_segments, batch, attn_target_level=None
-        )
-        predictions_class.append(out_class)
-        predictions_seg.append(seg_logits)
-        predictions_vox.append(vox_logits)
+            out_class, seg_logits, vox_logits, _ = self._mask_module(
+                queries, mask_segments, batch, attn_target_level=None
+            )
+            predictions_class.append(out_class)
+            predictions_seg.append(seg_logits)
+            predictions_vox.append(vox_logits)
 
         return {
             "pred_logits": jnp.stack(predictions_class),  # (L, B, Q, C)
