@@ -1,0 +1,79 @@
+"""Custom scatter-free conv VJPs must equal XLA autodiff gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unscene3d_tpu.ops import conv_ops
+from unscene3d_tpu.ops.kernel_maps import build_sparse_graph
+
+rng = np.random.RandomState(0)
+
+
+def setup(n=400, extent=12, seed=1):
+    r = np.random.RandomState(seed)
+    coords = np.unique(np.column_stack([
+        r.randint(0, 2, 4 * n), r.randint(-extent, extent, (4 * n, 3))
+    ]), axis=0)[:n].astype(np.int32)
+    g = build_sparse_graph(coords, num_levels=2)
+    fine, coarse = g.levels[0], g.levels[1]
+    x = np.zeros((fine.num_padded, 6), np.float32)
+    x[: len(coords)] = r.randn(len(coords), 6)
+    return fine, coarse, jnp.asarray(x), len(coords)
+
+
+def check_grads(custom_fn, ref_fn, args, wrt=(0, 1)):
+    for i in wrt:
+        g_custom = jax.grad(lambda *a: custom_fn(*a).astype(jnp.float32).sum(),
+                            argnums=i)(*args)
+        g_ref = jax.grad(lambda *a: ref_fn(*a).astype(jnp.float32).sum(),
+                         argnums=i)(*args)
+        np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_conv3_vjp_matches_autodiff():
+    fine, _, x, n = setup()
+    w = jnp.asarray((rng.randn(27, 6, 5) * 0.2).astype(np.float32))
+    # weighted output sum so the cotangent isn't constant
+    weights = jnp.asarray(rng.randn(fine.num_padded, 5).astype(np.float32))
+    custom = lambda x, w: (conv_ops.sparse_conv3(x, w, fine, impl="scan") * weights)
+    ref = lambda x, w: (conv_ops.sparse_conv3(x, w, fine, impl="unroll") * weights)
+    np.testing.assert_allclose(np.asarray(custom(x, w)), np.asarray(ref(x, w)),
+                               rtol=1e-4, atol=1e-5)
+    check_grads(custom, ref, (x, w))
+
+
+def test_conv_down2_vjp_matches_autodiff():
+    fine, coarse, x, n = setup(seed=2)
+    w = jnp.asarray((rng.randn(8, 6, 5) * 0.2).astype(np.float32))
+    weights = jnp.asarray(rng.randn(coarse.num_padded, 5).astype(np.float32))
+    custom = lambda x, w: (conv_ops.sparse_conv_down2(x, w, coarse, fine=fine) * weights)
+    ref = lambda x, w: (conv_ops.sparse_conv_down2(x, w, coarse) * weights)
+    np.testing.assert_allclose(np.asarray(custom(x, w)), np.asarray(ref(x, w)),
+                               rtol=1e-4, atol=1e-5)
+    check_grads(custom, ref, (x, w))
+
+
+def test_conv_up2_vjp_matches_autodiff():
+    fine, coarse, _, n = setup(seed=3)
+    xc = jnp.asarray(rng.randn(coarse.num_padded, 6).astype(np.float32)
+                     * np.asarray(coarse.valid)[:, None])
+    w = jnp.asarray((rng.randn(8, 6, 5) * 0.2).astype(np.float32))
+    weights = jnp.asarray(rng.randn(fine.num_padded, 5).astype(np.float32))
+    custom = lambda x, w: (conv_ops.sparse_conv_up2(x, w, fine, coarse=coarse) * weights)
+    ref = lambda x, w: (conv_ops.sparse_conv_up2(x, w, fine) * weights)
+    np.testing.assert_allclose(np.asarray(custom(xc, w)), np.asarray(ref(xc, w)),
+                               rtol=1e-4, atol=1e-5)
+    check_grads(custom, ref, (xc, w))
+
+
+def test_bias_grads():
+    fine, _, x, n = setup(seed=4)
+    w = jnp.asarray((rng.randn(27, 6, 5) * 0.2).astype(np.float32))
+    b = jnp.asarray(rng.randn(5).astype(np.float32))
+    custom = lambda b: conv_ops.sparse_conv3(x, w, fine, bias=b).astype(jnp.float32).sum()
+    g = jax.grad(custom)(b)
+    # d/db of sum over valid rows = number of valid rows
+    np.testing.assert_allclose(np.asarray(g), float(np.asarray(fine.valid).sum()),
+                               rtol=1e-5)

@@ -112,3 +112,16 @@ class SemanticSegmentationDataset:
             masks = np.stack(merged_m, 1)
             out_labels = np.asarray(merged_l, np.int64)
         return masks, out_labels
+
+
+class LidarDataset(SemanticSegmentationDataset):
+    """Outdoor LiDAR (SemanticKITTI) dataset (reference
+    datasets/outdoor_semseg.py:14): same Mask3D npy layout written by
+    preprocessing/semantic_kitti_preprocessing.py, remission stored in the
+    color columns; augmentation keeps full 3-axis symmetry off and skips
+    color jitter."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.augmentation.color_jitter_std = 0.0
+        self.augmentation.elastic_p = 0.0

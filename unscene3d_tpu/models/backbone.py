@@ -37,8 +37,9 @@ class Res16UNetBase(nn.Module):
             )(x, level, train)
         return x
 
-    def _conv_bn_relu(self, x, level, out_ch, kind, name, train):
-        x = SparseConv(out_ch, kind, dtype=self.dtype, name=f"{name}_conv")(x, level)
+    def _conv_bn_relu(self, x, level, out_ch, kind, name, train, other=None):
+        x = SparseConv(out_ch, kind, dtype=self.dtype, name=f"{name}_conv")(
+            x, level, other)
         x = SparseBatchNorm(self.bn_momentum, dtype=self.dtype, name=f"{name}_bn")(
             x, level.valid, train
         )
@@ -62,37 +63,37 @@ class Res16UNetBase(nn.Module):
         # models/res16unet.py:51-125)
         out_p1 = self._conv_bn_relu(features, L[0], self.init_dim, "k3", "conv0p1s1", train)
 
-        out = self._conv_bn_relu(out_p1, L[1], out_p1.shape[-1], "down2", "conv1p1s2", train)
+        out = self._conv_bn_relu(out_p1, L[1], out_p1.shape[-1], "down2", "conv1p1s2", train, other=L[0])
         out_b1p2 = self._blocks(out, L[1], self.layers[0], p[0], "block1", train)
 
-        out = self._conv_bn_relu(out_b1p2, L[2], out_b1p2.shape[-1], "down2", "conv2p2s2", train)
+        out = self._conv_bn_relu(out_b1p2, L[2], out_b1p2.shape[-1], "down2", "conv2p2s2", train, other=L[1])
         out_b2p4 = self._blocks(out, L[2], self.layers[1], p[1], "block2", train)
 
-        out = self._conv_bn_relu(out_b2p4, L[3], out_b2p4.shape[-1], "down2", "conv3p4s2", train)
+        out = self._conv_bn_relu(out_b2p4, L[3], out_b2p4.shape[-1], "down2", "conv3p4s2", train, other=L[2])
         out_b3p8 = self._blocks(out, L[3], self.layers[2], p[2], "block3", train)
 
-        out = self._conv_bn_relu(out_b3p8, L[4], out_b3p8.shape[-1], "down2", "conv4p8s2", train)
+        out = self._conv_bn_relu(out_b3p8, L[4], out_b3p8.shape[-1], "down2", "conv4p8s2", train, other=L[3])
         res_16 = self._blocks(out, L[4], self.layers[3], p[3], "block4", train)
 
         feature_maps = [res_16]
 
         # ---- up path (note: down2 conv at the *fine* graph = transpose conv)
-        out = self._conv_bn_relu(res_16, L[3], p[4], "up2", "convtr4p16s2", train)
+        out = self._conv_bn_relu(res_16, L[3], p[4], "up2", "convtr4p16s2", train, other=L[4])
         out = jnp.concatenate([out, out_b3p8], axis=-1)
         res_8 = self._blocks(out, L[3], self.layers[4], p[4], "block5", train)
         feature_maps.append(res_8)
 
-        out = self._conv_bn_relu(res_8, L[2], p[5], "up2", "convtr5p8s2", train)
+        out = self._conv_bn_relu(res_8, L[2], p[5], "up2", "convtr5p8s2", train, other=L[3])
         out = jnp.concatenate([out, out_b2p4], axis=-1)
         res_4 = self._blocks(out, L[2], self.layers[5], p[5], "block6", train)
         feature_maps.append(res_4)
 
-        out = self._conv_bn_relu(res_4, L[1], p[6], "up2", "convtr6p4s2", train)
+        out = self._conv_bn_relu(res_4, L[1], p[6], "up2", "convtr6p4s2", train, other=L[2])
         out = jnp.concatenate([out, out_b1p2], axis=-1)
         res_2 = self._blocks(out, L[1], self.layers[6], p[6], "block7", train)
         feature_maps.append(res_2)
 
-        out = self._conv_bn_relu(res_2, L[0], p[7], "up2", "convtr7p2s2", train)
+        out = self._conv_bn_relu(res_2, L[0], p[7], "up2", "convtr7p2s2", train, other=L[1])
         out = jnp.concatenate([out, out_p1], axis=-1)
         res_1 = self._blocks(out, L[0], self.layers[7], p[7], "block8", train)
         feature_maps.append(res_1)

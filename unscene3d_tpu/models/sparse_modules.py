@@ -35,7 +35,10 @@ class SparseConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, level: LevelGraph) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, level: LevelGraph,
+                 other: LevelGraph | None = None) -> jnp.ndarray:
+        """`other`: for 'down2' the FINE level, for 'up2' the COARSE level --
+        enables the scatter-free custom VJP (ops/conv_ops.py)."""
         cin = x.shape[-1]
         cout = self.out_channels
         bias = (
@@ -52,10 +55,12 @@ class SparseConv(nn.Module):
             return conv_ops.sparse_conv1(x, w.astype(self.dtype), level, bias)
         if self.kind == "down2":
             w = self.param("kernel", _conv_init, (8, cin, cout))
-            return conv_ops.sparse_conv_down2(x, w.astype(self.dtype), level, bias)
+            return conv_ops.sparse_conv_down2(x, w.astype(self.dtype), level,
+                                              bias, fine=other)
         if self.kind == "up2":
             w = self.param("kernel", _conv_init, (8, cin, cout))
-            return conv_ops.sparse_conv_up2(x, w.astype(self.dtype), level, bias)
+            return conv_ops.sparse_conv_up2(x, w.astype(self.dtype), level,
+                                            bias, coarse=other)
         if self.kind == "k3down2":
             w = self.param("kernel", _conv_init, (27, cin, cout))
             return conv_ops.sparse_conv3_down2(x, w.astype(self.dtype), level, bias)

@@ -4,9 +4,18 @@ These replace MinkowskiEngine's CUDA sparse convs (reference:
 models/modules/common.py:125-185) with an output-centric gather + GEMM
 formulation: for every output voxel we gather the input feature at each kernel
 offset (host-precomputed `LevelGraph` maps) and accumulate K matmuls on the
-MXU. There are no scatters anywhere -- invalid neighbors gather row 0 and are
-masked to zero, so results are bitwise deterministic (unlike the reference's
-atomicAdd kernels).
+MXU. There are no scatters anywhere -- invalid neighbors gather the last
+(padding) row, whose features are kept zero, so results are bitwise
+deterministic (unlike the reference's atomicAdd kernels).
+
+Backwards are CUSTOM VJPs expressed as gather-convs too: XLA's default
+transpose of a gather is a scatter-add, and at scene scale (6M+ scattered
+rows per conv) the TPU compiler falls over -- besides being slow. The k3
+offset set is symmetric (offset[26-k] == -offset[k]), so
+  d x = conv3(d y, flip-transposed W)         (another gather-conv)
+  d W[k] = gather_k(x)^T @ d y                (a GEMM)
+and stride-2 / transposed convs swap their child/parent tables. The whole
+train step is therefore scatter-free on the conv path.
 
 All functions take features as (N_pad, C) flat arrays (scenes concatenated,
 zero-padded) exactly like MinkowskiEngine's batched SparseTensor layout.
@@ -26,28 +35,83 @@ def _masked_gather(x: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.
     return g * valid[..., None].astype(x.dtype)
 
 
+def _scan_gather_gemm(x, w, idx, valid, n_out, bias, out_valid):
+    """out[i] = sum_k (x[idx[k, i]] * valid[k, i]) @ w[k], masked to out_valid."""
+    cout = w.shape[-1]
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+
+    def step(acc, inp):
+        idx_k, valid_k, wk = inp
+        g = _masked_gather(x, idx_k, valid_k)
+        return acc + jnp.dot(g, wk, preferred_element_type=acc_dtype), None
+
+    acc0 = jnp.zeros((n_out, cout), dtype=acc_dtype)
+    out, _ = jax.lax.scan(step, acc0, (idx, valid, w))
+    if bias is not None:
+        out = out + bias
+    out = out * out_valid[:, None].astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def _scan_weight_grad(x, gm, idx, valid):
+    """dW[k] = gather_k(x)^T @ gm, accumulated in f32. Returns (K, Cin, Cout)."""
+
+    def step(_, inp):
+        idx_k, valid_k = inp
+        g = _masked_gather(x, idx_k, valid_k)
+        return None, jnp.einsum("nc,nd->cd", g.astype(jnp.float32),
+                                gm.astype(jnp.float32))
+
+    _, dws = jax.lax.scan(step, None, (idx, valid))
+    return dws
+
+
+def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
+    """W'[k] = W[26-k]^T -- valid because KERNEL3_OFFSETS[26-k] == -OFFSETS[k]."""
+    return jnp.flip(w, axis=0).swapaxes(-1, -2)
+
+
+# --------------------------------------------------------------------- conv3
+@jax.custom_vjp
+def _conv3(x, w, bias, level):
+    return _scan_gather_gemm(x, w, level.nbr_idx, level.nbr_valid,
+                             level.num_padded, bias, level.valid)
+
+
+def _conv3_fwd(x, w, bias, level):
+    return _conv3(x, w, bias, level), (x, w, bias, level)
+
+
+def _conv3_bwd(res, g):
+    x, w, bias, level = res
+    gm = (g * level.valid[:, None].astype(g.dtype)).astype(x.dtype)
+    dx = _scan_gather_gemm(gm, _flip_transpose(w).astype(w.dtype),
+                           level.nbr_idx, level.nbr_valid,
+                           level.num_padded, None, level.valid)
+    dw = _scan_weight_grad(x, gm, level.nbr_idx, level.nbr_valid)
+    dbias = gm.astype(jnp.float32).sum(0).astype(bias.dtype) if bias is not None else None
+    return dx.astype(x.dtype), dw.astype(w.dtype), dbias, None
+
+
+_conv3.defvjp(_conv3_fwd, _conv3_bwd)
+
+
 def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
                  bias: jnp.ndarray | None = None,
                  impl: str = "scan") -> jnp.ndarray:
     """kernel_size=3, stride=1 sparse conv at one level.
 
     x: (N, Cin), w: (27, Cin, Cout). Output (N, Cout) on the same coords.
-
-    impl: 'scan' serializes the 27 offset steps (minimal live memory),
-    'unroll' emits an independent gather+GEMM per offset with a balanced
-    reduction tree (lets XLA overlap gathers with MXU work at the cost of
-    transient memory).
+    impl: 'scan' (default, custom scatter-free VJP), 'unroll' (autodiff,
+    per-offset parallelism), or the dense-brick path when level.brick is set.
     """
     if level.brick is not None:
         from unscene3d_tpu.ops.bricks import brick_conv3
 
         return brick_conv3(x, w, level.brick, level, bias)
 
-    n, cin = x.shape
-    cout = w.shape[-1]
-    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-
     if impl == "unroll":
+        acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
         terms = []
         for k in range(27):
             g = _masked_gather(x, level.nbr_idx[k], level.nbr_valid[k])
@@ -58,18 +122,11 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
                 for i in range(0, len(terms), 2)
             ]
         out = terms[0]
-    else:
-        def step(acc, inp):
-            idx, valid, wk = inp
-            g = _masked_gather(x, idx, valid)
-            return acc + jnp.dot(g, wk, preferred_element_type=acc.dtype), None
+        if bias is not None:
+            out = out + bias
+        return (out * level.valid[:, None].astype(out.dtype)).astype(x.dtype)
 
-        acc0 = jnp.zeros((n, cout), dtype=acc_dtype)
-        out, _ = jax.lax.scan(step, acc0, (level.nbr_idx, level.nbr_valid, w))
-    if bias is not None:
-        out = out + bias
-    out = out * level.valid[:, None].astype(out.dtype)
-    return out.astype(x.dtype)
+    return _conv3(x, w, bias, level)
 
 
 def sparse_conv1(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
@@ -82,54 +139,118 @@ def sparse_conv1(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
     return out.astype(x.dtype)
 
 
+# ------------------------------------------------------------- k2 s2 down/up
+def _up_select(z_flat, fine, cout):
+    """Gather each fine voxel's (parent, kernel-offset) row of a coarse
+    (N_coarse*8, Cout) matrix."""
+    flat_idx = fine.parent_idx * 8 + fine.parent_offset
+    return jnp.take(z_flat.reshape(-1, cout), flat_idx, axis=0)
+
+
+@jax.custom_vjp
+def _conv_down2(x, w, bias, coarse, fine):
+    return _scan_gather_gemm(x, w, coarse.child_idx, coarse.child_valid,
+                             coarse.num_padded, bias, coarse.valid)
+
+
+def _conv_down2_fwd(x, w, bias, coarse, fine):
+    return _conv_down2(x, w, bias, coarse, fine), (x, w, bias, coarse, fine)
+
+
+def _conv_down2_bwd(res, g):
+    x, w, bias, coarse, fine = res
+    gm = (g * coarse.valid[:, None].astype(g.dtype)).astype(x.dtype)
+    cin = x.shape[-1]
+    # dx[i] = gm[parent(i)] @ W[off(i)]^T : one GEMM + (parent, offset) gather
+    wt = w.swapaxes(-1, -2)  # (8, Cout, Cin)
+    z = jnp.dot(gm, wt.transpose(1, 0, 2).reshape(w.shape[-1], 8 * cin),
+                preferred_element_type=jnp.float32)
+    dx = _up_select(z, fine, cin) * fine.valid[:, None].astype(jnp.float32)
+    dw = _scan_weight_grad(x, gm, coarse.child_idx, coarse.child_valid)
+    dbias = gm.astype(jnp.float32).sum(0).astype(bias.dtype) if bias is not None else None
+    return dx.astype(x.dtype), dw.astype(w.dtype), dbias, None, None
+
+
+_conv_down2.defvjp(_conv_down2_fwd, _conv_down2_bwd)
+
+
 def sparse_conv_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
-                      bias: jnp.ndarray | None = None) -> jnp.ndarray:
+                      bias: jnp.ndarray | None = None,
+                      fine: LevelGraph | None = None) -> jnp.ndarray:
     """kernel_size=2, stride=2 sparse conv: fine level -> coarse level.
 
-    x: (N_fine, Cin), w: (8, Cin, Cout). Output (N_coarse, Cout). Every fine
-    voxel contributes to exactly one coarse voxel (its floor(c/2) parent), so
-    the map is the child table of the coarse level.
-    """
+    x: (N_fine, Cin), w: (8, Cin, Cout). Output (N_coarse, Cout). Pass the
+    fine LevelGraph to enable the scatter-free custom VJP (required for
+    large-scene training)."""
+    if fine is None:
+        return _scan_gather_gemm(x, w, coarse.child_idx, coarse.child_valid,
+                                 coarse.num_padded, bias, coarse.valid)
+    return _conv_down2(x, w, bias, coarse, fine)
+
+
+@jax.custom_vjp
+def _conv_up2(x, w, bias, fine, coarse):
+    n_c, cin = x.shape
     cout = w.shape[-1]
-    n_out = coarse.num_padded
-
-    def step(acc, inp):
-        idx, valid, wk = inp
-        g = _masked_gather(x, idx, valid)
-        return acc + jnp.dot(g, wk, preferred_element_type=acc.dtype), None
-
-    acc0 = jnp.zeros((n_out, cout), dtype=jnp.promote_types(x.dtype, jnp.float32))
-    out, _ = jax.lax.scan(step, acc0, (coarse.child_idx, coarse.child_valid, w))
+    z = jnp.dot(x, w.transpose(1, 0, 2).reshape(cin, 8 * cout),
+                preferred_element_type=jnp.float32)
+    out = _up_select(z, fine, cout)
     if bias is not None:
         out = out + bias
-    out = out * coarse.valid[:, None].astype(out.dtype)
+    out = out * fine.valid[:, None].astype(out.dtype)
     return out.astype(x.dtype)
 
 
+def _conv_up2_fwd(x, w, bias, fine, coarse):
+    return _conv_up2(x, w, bias, fine, coarse), (x, w, bias, fine, coarse)
+
+
+def _conv_up2_bwd(res, g):
+    x, w, bias, fine, coarse = res
+    gm = (g * fine.valid[:, None].astype(g.dtype)).astype(x.dtype)
+    # dx[j] = sum_k gm[child_k(j)] @ W[k]^T : a k2s2 down-conv with W^T
+    dx = _scan_gather_gemm(gm, w.swapaxes(-1, -2).astype(w.dtype),
+                           coarse.child_idx, coarse.child_valid,
+                           coarse.num_padded, None, coarse.valid)
+    # dW[k] = sum_{i: off(i)=k} x[parent(i)]^T gm[i]
+    x_par = jnp.take(x, fine.parent_idx, axis=0)
+    x_par = x_par * fine.valid[:, None].astype(x.dtype)
+
+    def step(_, k):
+        sel = (fine.parent_offset == k) & fine.valid
+        xs = x_par * sel[:, None].astype(x.dtype)
+        return None, jnp.einsum("nc,nd->cd", xs.astype(jnp.float32),
+                                gm.astype(jnp.float32))
+
+    _, dw = jax.lax.scan(step, None, jnp.arange(8))
+    dbias = gm.astype(jnp.float32).sum(0).astype(bias.dtype) if bias is not None else None
+    return dx.astype(x.dtype), dw.astype(w.dtype), dbias, None, None
+
+
+_conv_up2.defvjp(_conv_up2_fwd, _conv_up2_bwd)
+
+
 def sparse_conv_up2(x: jnp.ndarray, w: jnp.ndarray, fine: LevelGraph,
-                    bias: jnp.ndarray | None = None) -> jnp.ndarray:
+                    bias: jnp.ndarray | None = None,
+                    coarse: LevelGraph | None = None) -> jnp.ndarray:
     """kernel_size=2, upsample_stride=2 transposed conv: coarse -> fine level.
 
     x: (N_coarse, Cin), w: (8, Cin, Cout). Output lands on the fine level's
     existing coords (MinkowskiEngine conv_tr reuses the downsampling path's
     coordinate map, which the reference's skip-concats require,
-    models/res16unet.py:259-290).
-
-    Each fine voxel has exactly one coarse parent and a known kernel offset,
-    so we compute one big (N_coarse, Cin) x (Cin, 8*Cout) GEMM and gather the
-    (parent, offset) row per fine voxel.
-    """
-    n_c, cin = x.shape
-    cout = w.shape[-1]
-    # (N_coarse, 8*Cout) single MXU GEMM
-    z = jnp.dot(x, w.transpose(1, 0, 2).reshape(cin, 8 * cout),
-                preferred_element_type=jnp.float32)
-    flat_idx = fine.parent_idx * 8 + fine.parent_offset
-    out = jnp.take(z.reshape(n_c * 8, cout), flat_idx, axis=0)
-    if bias is not None:
-        out = out + bias
-    out = out * fine.valid[:, None].astype(out.dtype)
-    return out.astype(x.dtype)
+    models/res16unet.py:259-290). Pass the coarse LevelGraph for the
+    scatter-free custom VJP."""
+    if coarse is None:
+        n_c, cin = x.shape
+        cout = w.shape[-1]
+        z = jnp.dot(x, w.transpose(1, 0, 2).reshape(cin, 8 * cout),
+                    preferred_element_type=jnp.float32)
+        out = _up_select(z, fine, cout)
+        if bias is not None:
+            out = out + bias
+        out = out * fine.valid[:, None].astype(out.dtype)
+        return out.astype(x.dtype)
+    return _conv_up2(x, w, bias, fine, coarse)
 
 
 def sparse_conv3_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
@@ -137,22 +258,8 @@ def sparse_conv3_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
     """kernel_size=3, STRIDE-2 conv (MinkUNet/ResNet stage convs): fine ->
     coarse level via the coarse level's down_nbr map. x: (N_fine, Cin),
     w: (27, Cin, Cout)."""
-    cout = w.shape[-1]
-    n_out = coarse.num_padded
-
-    def step(acc, inp):
-        idx, valid, wk = inp
-        g = _masked_gather(x, idx, valid)
-        return acc + jnp.dot(g, wk, preferred_element_type=acc.dtype), None
-
-    acc0 = jnp.zeros((n_out, cout), dtype=jnp.promote_types(x.dtype, jnp.float32))
-    out, _ = jax.lax.scan(
-        step, acc0, (coarse.down_nbr_idx, coarse.down_nbr_valid, w)
-    )
-    if bias is not None:
-        out = out + bias
-    out = out * coarse.valid[:, None].astype(out.dtype)
-    return out.astype(x.dtype)
+    return _scan_gather_gemm(x, w, coarse.down_nbr_idx, coarse.down_nbr_valid,
+                             coarse.num_padded, bias, coarse.valid)
 
 
 def sparse_conv1_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
