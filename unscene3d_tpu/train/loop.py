@@ -135,6 +135,42 @@ class Trainer:
                 )
             return self._train_step
 
+    def build_accum_train_step(self, accum_steps: int) -> Callable:
+        """Gradient accumulation over `accum_steps` micro-batches (reference
+        pseudo config accumulate_grad_batches): the step takes a pytree of
+        micro-batches stacked on a leading axis and lax.scans the fwd+bwd,
+        averaging gradients before one optimizer update. Lets a single chip
+        train the reference's batch-8 schedule on large scenes."""
+
+        def step(state: TrainState, batches, rng):
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+
+            def micro(carry, inp):
+                grads_acc, bs, rng = carry
+                batch = inp
+                rng, sub = jax.random.split(rng)
+                (_, (losses, new_bs)), grads = grad_fn(
+                    state.params, bs, state.buffers, batch, sub
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, new_bs, rng), losses
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_bs, _), losses = jax.lax.scan(
+                micro, (zeros, state.batch_stats, rng), batches
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_bs, opt_state=new_opt,
+            )
+            mean_losses = jax.tree.map(lambda x: x.mean(0), losses)
+            return new_state, mean_losses
+
+        return jax.jit(step)
+
         if self._train_step is None:
             mesh = self.mesh
 
