@@ -105,6 +105,7 @@ class Experiment:
             self.mesh = None
             self.shard_scenes = self.batch_size
 
+        self.accum_steps = int(cfg.general.get("accumulate_grad_batches", 1))
         steps_per_epoch = max(len(train_dataset) // self.batch_size, 1)
         total_steps = steps_per_epoch * int(cfg.trainer.max_epochs)
         self.steps_per_epoch = steps_per_epoch
@@ -131,6 +132,12 @@ class Experiment:
             return out
 
         if self.mesh is None:
+            if self.accum_steps > 1:
+                # micro-batches stacked for the lax.scan accumulation step
+                per_micro = max(self.batch_size // self.accum_steps, 1)
+                micro_lists = [next_scenes(per_micro) for _ in range(self.accum_steps)]
+                micros, _ = self.collator.collate_shards(micro_lists)
+                return stack_shards(micros)
             batch, _ = self.collator(next_scenes(self.batch_size), pads=pads)
             return batch
         shard_lists = [next_scenes(self.shard_scenes) for _ in range(self.n_devices)]
@@ -155,7 +162,10 @@ class Experiment:
             state = restore_checkpoint(ckpt_dir, state)
             print(f"[exp] resumed from step {int(state.step)}")
 
-        step_fn = self.trainer.build_train_step()
+        if self.accum_steps > 1 and self.mesh is None:
+            step_fn = self.trainer.build_accum_train_step(self.accum_steps)
+        else:
+            step_fn = self.trainer.build_train_step()
         best_ap = -1.0
         check_every = int(cfg.trainer.get("check_val_every_n_epoch", 50))
         start_epoch = int(state.step) // self.steps_per_epoch
