@@ -115,10 +115,11 @@ def main():
             coords = r.rand(len(seg_ids), 3).astype(np.float32) * 8
             scenes.append(dict(features=feats, unique_segments=uniq,
                                connectivity=conn, segment_ids=seg_ids, coords=coords))
+        BatchedNCut(NCutConfig()).run(scenes)  # compile
         t0 = time.perf_counter()
         BatchedNCut(NCutConfig()).run(scenes)
         dt = time.perf_counter() - t0
-        print(f"ncut 8 scenes x 400 segs: {dt:.2f}s ({8/dt:.2f} scenes/s)")
+        print(f"ncut 8 scenes x 400 segs (warm): {dt:.2f}s ({8/dt:.2f} scenes/s)")
 
 
 if __name__ == "__main__":
