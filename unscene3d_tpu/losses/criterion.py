@@ -38,6 +38,9 @@ class SetCriterion:
     use_droploss: bool = False
     droploss_iou_thresh: float = 0.1
     ignore_label: int = 253
+    # aux prediction-set indices whose losses get zero weight (reference
+    # trainer/trainer.py:73-79 general.ignore_mask_idx)
+    ignore_mask_idx: tuple = struct.field(pytree_node=False, default=())
 
     def __call__(
         self,
@@ -68,12 +71,18 @@ class SetCriterion:
         else:
             losses["loss_noise_robust"] = jnp.zeros(L, jnp.float32)
 
-        total = (
+        per_set = (
             self.weight_ce * losses["loss_ce"]
             + self.weight_mask * losses["loss_mask"]
             + self.weight_dice * losses["loss_dice"]
             + self.weight_noise_robust * losses["loss_noise_robust"]
-        ).sum()
+        )
+        if self.ignore_mask_idx:
+            keep = jnp.ones((L,), jnp.float32)
+            for i in self.ignore_mask_idx:
+                keep = keep.at[i].set(0.0)
+            per_set = per_set * keep
+        total = per_set.sum()
         losses["total"] = total
         losses["num_masks"] = targets.valid.sum().astype(jnp.float32)
         return losses
