@@ -11,7 +11,6 @@ SparseGraph, per-level per-scene gather tables, and bucketed padding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 

@@ -16,7 +16,6 @@ not in `valid_class_ids` count as void.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 

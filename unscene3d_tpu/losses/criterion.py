@@ -15,7 +15,6 @@ Faithful to the reference's actual computed behavior:
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ them; pairs matched to padding are dropped afterwards.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

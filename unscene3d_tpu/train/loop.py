@@ -12,7 +12,6 @@ Replaces the reference's pytorch-lightning Trainer + DDP
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
@@ -135,6 +134,25 @@ class Trainer:
                 )
             return self._train_step
 
+        if self._train_step is None:
+            mesh = self.mesh
+
+            def sharded(state, batches, rng):
+                # batches: pytree with leading 'data'-sharded device axis
+                batch = jax.tree.map(lambda x: x[0], batches)
+                return self._step_core(state, batch, rng, "data")
+
+            self._train_step = jax.jit(
+                jax.shard_map(
+                    sharded,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P()),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+            )
+        return self._train_step
+
     def build_accum_train_step(self, accum_steps: int) -> Callable:
         """Gradient accumulation over `accum_steps` micro-batches (reference
         pseudo config accumulate_grad_batches): the step takes a pytree of
@@ -170,25 +188,6 @@ class Trainer:
             return new_state, mean_losses
 
         return jax.jit(step)
-
-        if self._train_step is None:
-            mesh = self.mesh
-
-            def sharded(state, batches, rng):
-                # batches: pytree with leading 'data'-sharded device axis
-                batch = jax.tree.map(lambda x: x[0], batches)
-                return self._step_core(state, batch, rng, "data")
-
-            self._train_step = jax.jit(
-                jax.shard_map(
-                    sharded,
-                    mesh=mesh,
-                    in_specs=(P(), P("data"), P()),
-                    out_specs=(P(), P()),
-                    check_vma=False,
-                )
-            )
-        return self._train_step
 
     # -------------------------------------------------------------- eval step
     def build_eval_step(self) -> Callable:
