@@ -228,10 +228,15 @@ class FreeMaskCollator:
             n_pix=max(p["n_pix"] for p in plans),
         )
 
-    def collate_shards(self, shard_scenes: list[list[dict]]
+    def collate_shards(self, shard_scenes: list[list[dict]],
+                       pads: dict | None = None
                        ) -> tuple[list[SceneBatch], list[CollateMeta]]:
         """Collate several data-parallel shards with one unified pad plan so
-        their pytrees can be stacked on a device axis."""
+        their pytrees can be stacked on a device axis. Pass `pads` (a master
+        plan) to avoid the double-collate sizing pass entirely."""
+        if pads is not None:
+            collated = [self(scenes, pads=pads) for scenes in shard_scenes]
+            return [b for b, _ in collated], [m for _, m in collated]
         first = [self(scenes) for scenes in shard_scenes]
         plans = [self.pad_plan(b) for b, _ in first]
         merged = self.merge_pad_plans(plans)

@@ -106,6 +106,10 @@ class Experiment:
             self.shard_scenes = self.batch_size
 
         self.accum_steps = int(cfg.general.get("accumulate_grad_batches", 1))
+        # one master pad plan for ALL training batches: every step hits one
+        # compiled executable (per-bucket recompiles cost ~10min each on TPU)
+        self.static_shapes = bool(cfg.general.get("static_shapes", True))
+        self._master_pads = None
         steps_per_epoch = max(len(train_dataset) // self.batch_size, 1)
         total_steps = steps_per_epoch * int(cfg.trainer.max_epochs)
         self.steps_per_epoch = steps_per_epoch
@@ -116,10 +120,43 @@ class Experiment:
         self.trainer = Trainer(model, criterion, opt, mesh=self.mesh)
 
     # --------------------------------------------------------------- batches
+    def _pads(self, sample_scenes: int = 8):
+        """Master pad plan: collate a few probe batches of the heaviest kind
+        and take the elementwise max plan."""
+        if not self.static_shapes:
+            return None
+        if self._master_pads is None:
+            n = self.shard_scenes if self.mesh is None and self.accum_steps == 1 \
+                else max(self.batch_size // max(self.accum_steps, 1), 1) \
+                if self.mesh is None else self.shard_scenes
+            plans = []
+            for start in range(0, min(sample_scenes * n, len(self.train_dataset)), n):
+                scenes = [self.train_dataset[(start + i) % len(self.train_dataset)]
+                          for i in range(n)]
+                b, _ = self.collator(scenes)
+                plans.append(self.collator.pad_plan(b))
+            merged = self.collator.merge_pad_plans(plans)
+            # ~15% headroom over the probe max so unsampled batches still fit
+            from unscene3d_tpu.ops.sparse_graph import bucket_size
+
+            def grow(v):
+                return bucket_size(int(v * 1.15) + 1) if v else 0
+
+            self._master_pads = dict(
+                levels=[grow(v) for v in merged["levels"]],
+                bricks=[(bucket_size(int(v * 1.15) + 1, align=8, min_size=8)
+                         if v else 0) for v in merged["bricks"]],
+                scene_n=[grow(v) for v in merged["scene_n"]],
+                s_max=grow(merged["s_max"]),
+                t_max=grow(merged["t_max"]),
+                n_pix=grow(merged["n_pix"]),
+            )
+        return self._master_pads
+
     def _example_batch(self):
         scenes = [self.train_dataset[i % len(self.train_dataset)]
                   for i in range(self.shard_scenes)]
-        return self.collator(scenes)[0]
+        return self.collator(scenes, pads=self._pads())[0]
 
     def _train_batch(self, rng: np.random.RandomState, pads=None):
         order = rng.permutation(len(self.train_dataset))
@@ -131,17 +168,32 @@ class Experiment:
             idx += n
             return out
 
-        if self.mesh is None:
-            if self.accum_steps > 1:
-                # micro-batches stacked for the lax.scan accumulation step
-                per_micro = max(self.batch_size // self.accum_steps, 1)
-                micro_lists = [next_scenes(per_micro) for _ in range(self.accum_steps)]
+        pads = pads or self._pads()
+        if self.mesh is None and self.accum_steps > 1:
+            # micro-batches stacked for the lax.scan accumulation step
+            per_micro = max(self.batch_size // self.accum_steps, 1)
+            micro_lists = [next_scenes(per_micro) for _ in range(self.accum_steps)]
+            try:
+                micros, _ = self.collator.collate_shards(micro_lists, pads=pads)
+            except AssertionError:
+                # a batch outgrew the master plan: rebuild it (one recompile)
+                self._master_pads = None
                 micros, _ = self.collator.collate_shards(micro_lists)
-                return stack_shards(micros)
-            batch, _ = self.collator(next_scenes(self.batch_size), pads=pads)
+            return stack_shards(micros)
+        if self.mesh is None:
+            scenes = next_scenes(self.batch_size)
+            try:
+                batch, _ = self.collator(scenes, pads=pads)
+            except AssertionError:
+                self._master_pads = None
+                batch, _ = self.collator(scenes)
             return batch
         shard_lists = [next_scenes(self.shard_scenes) for _ in range(self.n_devices)]
-        shards, _ = self.collator.collate_shards(shard_lists)
+        try:
+            shards, _ = self.collator.collate_shards(shard_lists, pads=pads)
+        except AssertionError:
+            self._master_pads = None
+            shards, _ = self.collator.collate_shards(shard_lists)
         return stack_shards(shards)
 
     # ----------------------------------------------------------------- train
