@@ -74,10 +74,29 @@ class Trainer:
         self._eval_step = None
 
     # ------------------------------------------------------------------ init
-    def init_state(self, example_batch: SceneBatch, seed: int = 0) -> TrainState:
+    def init_state(self, example_batch: SceneBatch, seed: int = 0,
+                   jit_init: bool = False) -> TrainState:
         from unscene3d_tpu.utils.runtime import init_on_cpu
 
         rngs = {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(seed + 1)}
+        init_fn = self.model.init
+        if jit_init:
+            # compile (and persistently cache) the init instead of eager
+            # op-by-op dispatch -- the dominant cost of the multichip dryrun
+            init_fn = jax.jit(
+                lambda rngs, batch: self.model.init(
+                    rngs, batch, train=False, is_eval=True)
+            )
+            variables = init_on_cpu(init_fn, rngs, example_batch)
+            variables = jax.tree.map(lambda x: x, variables)  # materialize
+            params = variables["params"]
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=variables.get("batch_stats", {}),
+                buffers=variables.get("buffers", {}),
+                opt_state=self.tx.init(params),
+            )
         variables = init_on_cpu(
             self.model.init, rngs, example_batch, train=False, is_eval=True
         )
