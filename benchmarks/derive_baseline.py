@@ -34,6 +34,11 @@ Run:  python benchmarks/derive_baseline.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
