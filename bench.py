@@ -1,42 +1,58 @@
-"""Benchmark: flagship Mask3D inference throughput on one TPU chip.
+"""Benchmark: UnScene3D pipeline throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: eval-mode forward (Res16UNet34C backbone + 100-query / 3-shared-
-decoder mask transformer, full-resolution attention) on a synthetic scene
-sized like a ScanNet 2cm-voxel scan (~100k voxels), matching the reference's
-class-agnostic inference path (trainer/trainer.py:359-440).
+Metric: combined scenes/s through BOTH halves of the UnScene3D pipeline
+(BASELINE.json: "per-scene pseudo-mask + inference throughput"):
+  (a) Mask3D eval-mode inference (Res16UNet34C + 100-query/3-shared-decoder
+      transformer, full-resolution attention) on a synthetic ScanNet-like
+      scene (~200k voxels @ 2cm), matching trainer/trainer.py:359-440.
+  (b) NCut pseudo-mask generation (greedy masked normalized-cut, 20
+      iterations, 400 segments/scene, batch-32 lockstep), matching
+      pseudo_masks/unscene3d_pseudo_main.py:405-502.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). We use
-an estimated 4.0 scenes/s for the reference's MinkowskiEngine inference on an
-RTX A6000 (Res16UNet34C @ ~100k voxels: ~150-200ms backbone + decoder + copy
-overheads); vs_baseline = ours / 4.0. Revisit once the reference path is
-measured directly.
+combined scenes/s = 1 / (t_inference + t_pseudo) per scene.
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md), so the
+A6000 baseline is DERIVED by benchmarks/derive_baseline.py from this scene's
+measured sparse topology + a roofline/overhead model in which every unknown
+is priced in the reference's favor (see that file's docstring for the model
+and BASELINE.md for the table). Derived values (rerun derive_baseline.py to
+reproduce):
+    inference  8.121 scenes/s   (123.1 ms/scene)
+    pseudo     4.923 scenes/s   (203.1 ms/scene)
+    combined   3.065 scenes/s   (326.3 ms/scene)
+
+Timing method: K chained in-graph iterations divided by K (steady-state
+pipeline throughput; excludes the axon dev-tunnel's ~29ms per-call relay
+round-trip, which is measurement harness, not TPU work).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
 
-BASELINE_SCENES_PER_SEC = 4.0
+BASELINE_INFERENCE = 8.121   # scenes/s, derived (benchmarks/derive_baseline.py)
+BASELINE_PSEUDO = 4.923
+BASELINE_COMBINED = 3.065
 
 
-def main():
+def bench_inference():
     import jax
     import jax.numpy as jnp
-
-    from unscene3d_tpu.utils.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from unscene3d_tpu.data.collate import FreeMaskCollator
     from unscene3d_tpu.data.synthetic import make_scene
     from unscene3d_tpu.models.backbone import Res16UNet34C
     from unscene3d_tpu.models.mask3d import Mask3D
+    from unscene3d_tpu.utils.runtime import init_on_cpu
 
     dtype = jnp.bfloat16
     model = Mask3D(
@@ -45,16 +61,13 @@ def main():
         dtype=dtype,
     )
 
-    # ~100k voxels at 2cm: dense 250k-point scene over a 8m room
+    # ~200k voxels at 2cm: dense 250k-point scene over an 8m room
     scene = make_scene(num_points=250_000, num_objects=12, extent=8.0, seed=0)
     t_host0 = time.perf_counter()
-    batch, meta = FreeMaskCollator(voxel_size=0.02)(
-        [scene]
-    )
+    batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True)([scene])
     host_collate_s = time.perf_counter() - t_host0
     n_vox = meta.num_voxels[0]
-
-    from unscene3d_tpu.utils.runtime import init_on_cpu
+    n_pad = batch.graph.levels[0].num_padded
 
     variables = init_on_cpu(
         model.init,
@@ -62,51 +75,96 @@ def main():
         batch, train=False, is_eval=True,
     )
 
-    @jax.jit
-    def fwd(variables, batch):
-        return model.apply(variables, batch, train=False, is_eval=True)
-
-    # device-resident batch: steady-state measures device compute; input
-    # transfer overlaps compute in the real pipeline (and the axon dev tunnel's
-    # ~50MB/s is not representative of a TPU host's PCIe)
     t0 = time.perf_counter()
     batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), batch)
     jax.block_until_ready(batch.features)
     transfer_s = time.perf_counter() - t0
 
-    # warmup / compile
-    out = fwd(variables, batch)
+    def fwd(variables, batch):
+        return model.apply(variables, batch, train=False, is_eval=True)
+
+    out = jax.jit(fwd)(variables, batch)
     finite = bool(jnp.isfinite(out["pred_logits"].astype(jnp.float32)).all())
 
-    @jax.jit
-    def fwd_scalar(variables, batch):
-        out = model.apply(variables, batch, train=False, is_eval=True)
-        return out["pred_logits"].astype(jnp.float32).sum()
+    # steady-state: K chained in-graph forwards (inputs perturbed by an
+    # output-dependent epsilon so XLA cannot collapse or reorder them)
+    K = 8
 
-    float(fwd_scalar(variables, batch))  # compile
-    iters = 10
+    def rep(variables, batch):
+        s = jnp.zeros((), jnp.float32)
+        b = batch
+        for _ in range(K):
+            out = model.apply(variables, b, train=False, is_eval=True)
+            s = s + out["pred_logits"].astype(jnp.float32).sum()
+            b = b.replace(features=b.features + (s * 1e-12).astype(b.features.dtype))
+        return s
+
+    rep_j = jax.jit(rep)
+    float(rep_j(variables, batch))  # compile
     times = []
-    for _ in range(iters):
+    for _ in range(4):
         t0 = time.perf_counter()
-        # fetching a scalar forces real completion (block_until_ready through
-        # the axon relay returns early)
-        float(fwd_scalar(variables, batch))
+        float(rep_j(variables, batch))
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    scenes_per_sec = 1.0 / dt
-
+    dt = float(np.median(times)) / K
     print(
-        f"[bench] voxels={n_vox} device_fwd={dt*1e3:.1f}ms "
-        f"host_collate={host_collate_s*1e3:.0f}ms "
-        f"h2d_transfer={transfer_s*1e3:.0f}ms finite={finite} "
-        f"backend={jax.default_backend()}",
+        f"[bench] inference: voxels={n_vox} pad={n_pad} device_fwd={dt*1e3:.1f}ms "
+        f"host_collate={host_collate_s*1e3:.0f}ms h2d={transfer_s*1e3:.0f}ms "
+        f"finite={finite} backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+    return dt
+
+
+def bench_pseudo(batch_scenes: int = 32, num_segments: int = 400):
+    from unscene3d_tpu.pseudo.ncut import BatchedNCut, NCutConfig
+
+    r = np.random.RandomState(0)
+    scenes = []
+    for _ in range(batch_scenes):
+        s = num_segments
+        feats = r.randn(s, 96).astype(np.float32)
+        uniq = np.arange(s)
+        conn = np.column_stack([np.arange(s - 1), np.arange(1, s)])
+        conn = np.vstack([conn, conn[:, ::-1]])
+        seg_ids = np.repeat(uniq, 5)
+        coords = r.rand(len(seg_ids), 3).astype(np.float32) * 8
+        scenes.append(dict(features=feats, unique_segments=uniq,
+                           connectivity=conn, segment_ids=seg_ids,
+                           coords=coords))
+    runner = BatchedNCut(NCutConfig())
+    runner.run(scenes)  # warm / compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        runner.run(scenes)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / batch_scenes
+    print(f"[bench] pseudo: {batch_scenes} scenes x {num_segments} segs, "
+          f"{dt*1e3:.1f}ms/scene", file=sys.stderr)
+    return dt
+
+
+def main():
+    from unscene3d_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    t_inf = bench_inference()
+    t_pse = bench_pseudo()
+    t_total = t_inf + t_pse
+    combined = 1.0 / t_total
+    print(
+        f"[bench] combined: inference {1/t_inf:.2f} scenes/s "
+        f"(baseline {BASELINE_INFERENCE}), pseudo {1/t_pse:.2f} scenes/s "
+        f"(baseline {BASELINE_PSEUDO}), combined {combined:.3f} scenes/s "
+        f"(baseline {BASELINE_COMBINED})",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "mask3d_inference_scenes_per_sec",
-        "value": round(scenes_per_sec, 3),
+        "metric": "pseudo_plus_inference_scenes_per_sec",
+        "value": round(combined, 3),
         "unit": "scenes/s",
-        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+        "vs_baseline": round(combined / BASELINE_COMBINED, 3),
     }))
 
 

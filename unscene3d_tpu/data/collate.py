@@ -52,7 +52,8 @@ class FreeMaskCollator:
     def __init__(self, voxel_size: float = 0.02, num_levels: int = 5,
                  target_align: int = 8, seg_align: int = 64,
                  build_triplane: bool = False,
-                 brick_levels: tuple = ()):
+                 brick_levels: tuple = (),
+                 fine_buckets: bool = False):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
@@ -63,6 +64,10 @@ class FreeMaskCollator:
         # 386ms (27-way gather): XLA's dense conv on 10^3 bricks loses more
         # than the gather rows save, so the gather path is the default.
         self.brick_levels = tuple(brick_levels)
+        # sixteenth-step padding buckets: ~6% max waste, for latency-critical
+        # single-shape workloads (bench/inference); training keeps the coarse
+        # buckets to bound recompiles
+        self.fine_buckets = fine_buckets
 
     def __call__(self, scenes: list[dict], pads: dict | None = None
                  ) -> tuple[SceneBatch, CollateMeta]:
@@ -109,6 +114,7 @@ class FreeMaskCollator:
             pad_sizes=pads["levels"] if pads else None,
             brick_levels=self.brick_levels,
             brick_pads=pads.get("bricks") if pads else None,
+            fine_buckets=self.fine_buckets,
         )
         n0_pad = graph.levels[0].num_padded
 

@@ -172,6 +172,7 @@ def build_sparse_graph(
     brick_levels: tuple = (),
     brick_pads: list[int] | None = None,
     build_down_nbr_maps: bool = False,
+    fine_buckets: bool = False,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
 
@@ -195,7 +196,8 @@ def build_sparse_graph(
         child_valids.append(c_valid)
 
     pads = [
-        pad_sizes[li] if pad_sizes is not None else bucket_size(len(level_coords[li]) + 1)
+        pad_sizes[li] if pad_sizes is not None
+        else bucket_size(len(level_coords[li]) + 1, fine=fine_buckets)
         for li in range(num_levels)
     ]
     levels = []

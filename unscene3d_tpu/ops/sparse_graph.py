@@ -82,10 +82,14 @@ class SparseGraph:
         return len(self.levels)
 
 
-def bucket_size(n: int, align: int = 128, min_size: int = 256) -> int:
-    """Round n up to a coarse geometric bucket to bound XLA recompiles.
+def bucket_size(n: int, align: int = 128, min_size: int = 256,
+                fine: bool = False) -> int:
+    """Round n up to a geometric bucket to bound XLA recompiles.
 
-    Buckets are {1, 1.25, 1.5, 1.75} * 2^k, aligned to `align`.
+    Buckets are {1, 1.25, 1.5, 1.75} * 2^k, aligned to `align`. With
+    `fine=True`, sixteenth steps ({1, 1.0625, ..., 1.9375} * 2^k) are used --
+    at most ~6% padding waste, for latency-critical single-shape workloads
+    (inference/bench) where every gathered padding row costs real bandwidth.
     """
     n = max(int(n), 1)
     target = max(n, min_size)
@@ -97,8 +101,9 @@ def bucket_size(n: int, align: int = 128, min_size: int = 256) -> int:
     else:
         half = p >> 1
         size = p
-        for frac in (1.25, 1.5, 1.75):
-            cand = int(half * frac)
+        steps = [i / 16.0 for i in range(17)] if fine else (1.25, 1.5, 1.75)
+        for frac in steps:
+            cand = int(half * (1.0 + frac)) if fine else int(half * frac)
             if cand >= target:
                 size = cand
                 break
