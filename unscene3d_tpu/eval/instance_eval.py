@@ -118,16 +118,25 @@ def evaluate_instances(
                 if pred_list:
                     has_pred = True
 
-                matched_pred_ids = set()
+                # greedy assignment with the benchmark's visited rule
+                # (evaluate_semantic_instance.py:124,144): a prediction
+                # first-matched to one GT is skipped for later GTs, so one
+                # mask cannot be a true positive for two instances (matters
+                # at the 0.25 threshold); duplicate matches to the SAME GT
+                # count the lower-confidence one as a FP and do not mark the
+                # prediction visited.
+                pred_visited = set()
                 cur_match = np.zeros(len(gt_list), bool)
                 cur_score = np.full(len(gt_list), -np.inf)
                 for gi, gt in enumerate(gt_list):
                     found = False
                     for pred, inter in gt.matched_preds:
+                        if id(pred) in pred_visited:
+                            continue
                         iou = inter / (gt.vert_count + pred.vert_count - inter)
                         if iou > overlap_th:
                             conf = pred.confidence
-                            if found:
+                            if cur_match[gi]:
                                 # duplicate match: lower-confidence one is a FP
                                 mx, mn = max(cur_score[gi], conf), min(cur_score[gi], conf)
                                 cur_score[gi] = mx
@@ -137,14 +146,14 @@ def evaluate_instances(
                                 found = True
                                 cur_match[gi] = True
                                 cur_score[gi] = conf
-                            matched_pred_ids.add(id(pred))
+                                pred_visited.add(id(pred))
                     if not found:
                         hard_fns += 1
                 y_true.extend([1] * int(cur_match.sum()))
                 y_score.extend(list(cur_score[cur_match]))
 
                 for pred in pred_list:
-                    if id(pred) in matched_pred_ids:
+                    if id(pred) in pred_visited:
                         continue
                     found_gt = False
                     for gt, inter in pred.matched_gts:

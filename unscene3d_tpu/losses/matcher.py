@@ -115,7 +115,11 @@ def solve_lsap_auction(cost: jnp.ndarray, eps_scale: float = 1e-3,
     lead = cost.shape[:-2]
     flat = cost.reshape((-1, q, t)).astype(jnp.float32)
 
-    cap = max_iters or 3000
+    # worst-case bid count scales with T/eps_scale (ADVICE r1: a fixed 3000
+    # cap can leave valid targets unassigned, silently dropping them from the
+    # loss); a greedy completion pass below guarantees every target is
+    # assigned even if the cap is hit
+    cap = max_iters or max(3000, int(4 * t / eps_scale**0.5))
 
     def solve_one(c):
         benefit = -c.T  # (T, Q), maximize
@@ -164,7 +168,26 @@ def solve_lsap_auction(cost: jnp.ndarray, eps_scale: float = 1e-3,
                 jnp.full((t,), -1, jnp.int32), jnp.asarray(False),
                 jnp.asarray(0, jnp.int32))
         state = jax.lax.while_loop(cond, body, init)
-        return state[2].astype(jnp.int32)
+        assign = state[2].astype(jnp.int32)
+
+        # greedy completion: if the iteration cap was hit, give every still-
+        # unassigned target its cheapest free query so no valid target drops
+        # out of the loss with zero weight
+        used = jnp.zeros((q,), bool).at[
+            jnp.where(assign >= 0, assign, q)
+        ].set(True, mode="drop")
+
+        def fill(i, carry):
+            assign, used = carry
+            c_i = jnp.where(used, jnp.inf, c[:, i])
+            pick = jnp.argmin(c_i).astype(jnp.int32)
+            take = assign[i] < 0
+            assign = assign.at[i].set(jnp.where(take, pick, assign[i]))
+            used = used.at[pick].set(used[pick] | take)
+            return assign, used
+
+        assign, _ = jax.lax.fori_loop(0, t, fill, (assign, used))
+        return assign
 
     out = jax.vmap(solve_one)(flat)
     return out.reshape(*lead, t)

@@ -82,6 +82,29 @@ class Prefetcher:
             yield self.q.get()
 
 
+class _EpochSampler:
+    """Sequential consumption of per-epoch shuffles: the dataset is traversed
+    exactly once per `len(dataset)` draws, like the reference's shuffled
+    DataLoader (ADVICE r1: a fresh permutation per batch samples scenes with
+    replacement across batches)."""
+
+    def __init__(self, n: int, rng: np.random.RandomState):
+        self.n = n
+        self.rng = rng
+        self._order = None
+        self._idx = 0
+
+    def next(self, k: int) -> list[int]:
+        out = []
+        for _ in range(k):
+            if self._order is None or self._idx >= self.n:
+                self._order = self.rng.permutation(self.n)
+                self._idx = 0
+            out.append(int(self._order[self._idx]))
+            self._idx += 1
+        return out
+
+
 class Experiment:
     def __init__(self, cfg, model, criterion: SetCriterion,
                  train_dataset, validation_dataset, test_dataset,
@@ -106,6 +129,14 @@ class Experiment:
             self.shard_scenes = self.batch_size
 
         self.accum_steps = int(cfg.general.get("accumulate_grad_batches", 1))
+        if self.accum_steps > 1 and self.mesh is not None:
+            # ADVICE r1: silently ignoring accumulation on a mesh trains with
+            # a different effective batch size than the config requests
+            raise ValueError(
+                "accumulate_grad_batches > 1 is not composed with multi-device"
+                " data parallelism yet; lower data.batch_size per device or"
+                " run single-device (JAX_PLATFORMS with one chip)."
+            )
         # one master pad plan for ALL training batches: every step hits one
         # compiled executable (per-bucket recompiles cost ~10min each on TPU)
         self.static_shapes = bool(cfg.general.get("static_shapes", True))
@@ -158,15 +189,9 @@ class Experiment:
                   for i in range(self.shard_scenes)]
         return self.collator(scenes, pads=self._pads())[0]
 
-    def _train_batch(self, rng: np.random.RandomState, pads=None):
-        order = rng.permutation(len(self.train_dataset))
-        idx = 0
-
+    def _train_batch(self, sampler: "_EpochSampler", pads=None):
         def next_scenes(n):
-            nonlocal idx
-            out = [self.train_dataset[int(order[(idx + i) % len(order)])] for i in range(n)]
-            idx += n
-            return out
+            return [self.train_dataset[i] for i in sampler.next(n)]
 
         pads = pads or self._pads()
         if self.mesh is None and self.accum_steps > 1:
@@ -222,10 +247,11 @@ class Experiment:
         check_every = int(cfg.trainer.get("check_val_every_n_epoch", 50))
         start_epoch = int(state.step) // self.steps_per_epoch
 
+        sampler = _EpochSampler(len(self.train_dataset), rng_np)
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = None
-            batches = Prefetcher(lambda i: self._train_batch(rng_np),
+            batches = Prefetcher(lambda i: self._train_batch(sampler),
                                  self.steps_per_epoch)
             for batch in batches:
                 rng, sub = jax.random.split(rng)

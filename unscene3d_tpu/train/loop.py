@@ -42,8 +42,10 @@ def make_optimizer(
     """AdamW + torch-default OneCycleLR (cos anneal, pct_start .3,
     div_factor 25, final_div 1e4)."""
     if schedule == "onecycle":
+        # optax's onecycle emits NaN learning rates when a phase boundary
+        # rounds to a zero-width interval (e.g. total_steps=2 in smoke runs)
         sched = optax.cosine_onecycle_schedule(
-            transition_steps=total_steps,
+            transition_steps=max(total_steps, 10),
             peak_value=lr,
             pct_start=0.3,
             div_factor=25.0,
