@@ -8,7 +8,7 @@ Metric: combined scenes/s through BOTH halves of the UnScene3D pipeline
       transformer, full-resolution attention) on a synthetic ScanNet-like
       scene (~200k voxels @ 2cm), matching trainer/trainer.py:359-440.
   (b) NCut pseudo-mask generation (greedy masked normalized-cut, 20
-      iterations, 400 segments/scene, batch-32 lockstep), matching
+      iterations, 400 segments/scene, batch-64 lockstep), matching
       pseudo_masks/unscene3d_pseudo_main.py:405-502.
 
 combined scenes/s = 1 / (t_inference + t_pseudo) per scene.
@@ -64,7 +64,8 @@ def bench_inference():
     # ~200k voxels at 2cm: dense 250k-point scene over an 8m room
     scene = make_scene(num_points=250_000, num_objects=12, extent=8.0, seed=0)
     t_host0 = time.perf_counter()
-    batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True)([scene])
+    batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True,
+                               csr_levels=(0,))([scene])
     host_collate_s = time.perf_counter() - t_host0
     n_vox = meta.num_voxels[0]
     n_pad = batch.graph.levels[0].num_padded
@@ -116,7 +117,7 @@ def bench_inference():
     return dt
 
 
-def bench_pseudo(batch_scenes: int = 32, num_segments: int = 400):
+def bench_pseudo(batch_scenes: int = 64, num_segments: int = 400):
     from unscene3d_tpu.pseudo.ncut import BatchedNCut, NCutConfig
 
     r = np.random.RandomState(0)

@@ -53,7 +53,8 @@ class FreeMaskCollator:
                  target_align: int = 8, seg_align: int = 64,
                  build_triplane: bool = False,
                  brick_levels: tuple = (),
-                 fine_buckets: bool = False):
+                 fine_buckets: bool = False,
+                 csr_levels: tuple = ()):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
@@ -68,6 +69,9 @@ class FreeMaskCollator:
         # single-shape workloads (bench/inference); training keeps the coarse
         # buckets to bound recompiles
         self.fine_buckets = fine_buckets
+        # levels whose k3 convs use the CSR pair tables + Pallas
+        # segment-combine kernel (ops/csr_conv.py)
+        self.csr_levels = tuple(csr_levels)
 
     def __call__(self, scenes: list[dict], pads: dict | None = None
                  ) -> tuple[SceneBatch, CollateMeta]:
@@ -115,6 +119,8 @@ class FreeMaskCollator:
             brick_levels=self.brick_levels,
             brick_pads=pads.get("bricks") if pads else None,
             fine_buckets=self.fine_buckets,
+            csr_levels=self.csr_levels,
+            csr_pbs=pads.get("csr_pb") if pads else None,
         )
         n0_pad = graph.levels[0].num_padded
 
@@ -216,6 +222,8 @@ class FreeMaskCollator:
             levels=[l.num_padded for l in batch.graph.levels],
             bricks=[(l.brick.num_bricks if l.brick is not None else 0)
                     for l in batch.graph.levels],
+            csr_pb=[(l.csr.pb if l.csr is not None else 0)
+                    for l in batch.graph.levels],
             scene_n=[si.shape[1] for si in batch.scene_idx],
             s_max=batch.seg_valid.shape[1],
             t_max=(batch.target.labels.shape[1] if batch.target is not None else 0),
@@ -228,6 +236,8 @@ class FreeMaskCollator:
         return dict(
             levels=[max(p["levels"][i] for p in plans) for i in range(len(plans[0]["levels"]))],
             bricks=[max(p["bricks"][i] for p in plans) for i in range(len(plans[0]["bricks"]))],
+            csr_pb=[max(p.get("csr_pb", [0]*5)[i] for p in plans)
+                    for i in range(len(plans[0]["levels"]))],
             scene_n=[max(p["scene_n"][i] for p in plans) for i in range(len(plans[0]["scene_n"]))],
             s_max=max(p["s_max"] for p in plans),
             t_max=max(p["t_max"] for p in plans),

@@ -185,3 +185,23 @@ class SetCriterion:
                 )
             )
         return jnp.stack(out)
+
+
+class CrossEntropyLoss:
+    """Plain semantic-segmentation cross entropy with an ignore index
+    (reference conf/loss/cross_entropy.yaml -> torch.nn.CrossEntropyLoss):
+    the criterion of the MinkUNet/ResNet semantic baselines."""
+
+    def __init__(self, ignore_index: int = 255):
+        self.ignore_index = int(ignore_index)
+
+    def __call__(self, logits, labels):
+        import jax.numpy as jnp
+
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        valid = labels != self.ignore_index
+        safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        return nll.sum() / jnp.maximum(valid.sum(), 1)

@@ -110,6 +110,14 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
 
         return brick_conv3(x, w, level.brick, level, bias)
 
+    from unscene3d_tpu.ops import csr_conv as _csr
+
+    if level.csr is not None and not _csr.fallback_active():
+        out = _csr.csr_conv3(x, w.astype(x.dtype), level.csr, level.valid)
+        if bias is not None:
+            out = (out + bias) * level.valid[:, None].astype(out.dtype)
+        return out.astype(x.dtype)
+
     if impl == "unroll":
         acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
         terms = []

@@ -173,6 +173,8 @@ def build_sparse_graph(
     brick_pads: list[int] | None = None,
     build_down_nbr_maps: bool = False,
     fine_buckets: bool = False,
+    csr_levels: tuple = (),
+    csr_pbs: list | None = None,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
 
@@ -197,7 +199,9 @@ def build_sparse_graph(
 
     pads = [
         pad_sizes[li] if pad_sizes is not None
-        else bucket_size(len(level_coords[li]) + 1, fine=fine_buckets)
+        else bucket_size(len(level_coords[li]) + 1, fine=fine_buckets,
+                         # the CSR kernel tiles out rows in blocks of 256
+                         align=256 if li in csr_levels else 128)
         for li in range(num_levels)
     ]
     levels = []
@@ -232,6 +236,13 @@ def build_sparse_graph(
             lvl = lvl.replace(brick=build_brick_map(
                 np.asarray(lvl.coords), np.asarray(lvl.valid),
                 nb_pad=brick_pads[li] if brick_pads else None,
+            ))
+        if li in csr_levels:
+            from unscene3d_tpu.ops.csr_conv import build_csr_graph
+
+            lvl = lvl.replace(csr=build_csr_graph(
+                np.asarray(lvl.nbr_idx), pads[li],
+                pb=(csr_pbs[li] or None) if csr_pbs else None,
             ))
         if build_down_nbr_maps and li > 0:
             d_idx, d_valid = build_down_neighbor_map(lc, level_coords[li - 1])

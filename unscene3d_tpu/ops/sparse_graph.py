@@ -48,6 +48,9 @@ class LevelGraph:
     # when present, k3 convs at this level skip the 27-way neighbor gather
     # and nbr_idx is a (27, 1) stub to keep host->device transfers small
     brick: object = None
+    # optional CSR pair tables (ops/csr_conv.py): k3 convs gather only VALID
+    # neighbor pairs and combine them with a Pallas segment-combine kernel
+    csr: object = None
     # optional kernel-size-3 STRIDE-2 map: for each voxel at THIS level, the
     # finer-level voxel at 2*coord + offset (27 offsets). Needed only by the
     # MinkUNet/ResNet families whose stage blocks stride with k3 convs

@@ -34,21 +34,75 @@ from unscene3d_tpu.train.loop import Trainer, make_optimizer
 
 
 class CSVLogger:
-    def __init__(self, save_dir: str):
+    """CSV metrics logger (reference pytorch_lightning CSVLogger analog).
+    Rewrites the file with a widened header when new metric names appear
+    (per-loss/per-aux scalars only show up after the first train epoch)."""
+
+    def __init__(self, save_dir: str, name: str = "metrics"):
         os.makedirs(save_dir, exist_ok=True)
-        self.path = os.path.join(save_dir, "metrics.csv")
-        self._fieldnames = None
+        self.path = os.path.join(save_dir, f"{name}.csv")
+        self._fieldnames: list = []
+        self._rows: list = []
 
     def log(self, row: dict):
         row = {k: (float(v) if hasattr(v, "item") else v) for k, v in row.items()}
-        exists = os.path.exists(self.path)
-        with open(self.path, "a", newline="") as f:
-            if self._fieldnames is None:
-                self._fieldnames = sorted(row)
+        self._rows.append(row)
+        new = [k for k in row if k not in self._fieldnames]
+        if new:
+            self._fieldnames = sorted(set(self._fieldnames) | set(row))
+        with open(self.path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
-            if not exists:
-                w.writeheader()
-            w.writerow(row)
+            w.writeheader()
+            w.writerows(self._rows)
+
+
+class JSONLLogger:
+    """Append-only JSONL metrics stream (stands in for the reference's
+    wandb/neptune/tensorboard loggers, conf/logging/full.yaml et al., which
+    need external services this framework does not depend on)."""
+
+    def __init__(self, save_dir: str, name: str = "metrics"):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = os.path.join(save_dir, f"{name}.jsonl")
+
+    def log(self, row: dict):
+        row = {k: (float(v) if hasattr(v, "item") else v) for k, v in row.items()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+class MultiLogger:
+    def __init__(self, loggers: list):
+        self.loggers = list(loggers)
+
+    def log(self, row: dict):
+        for lg in self.loggers:
+            lg.log(row)
+
+
+_LOGGER_KINDS = {"csv": CSVLogger, "jsonl": JSONLLogger,
+                 # external-service loggers map to the JSONL stream
+                 "wandb": JSONLLogger, "neptune": JSONLLogger,
+                 "tensorboard": JSONLLogger}
+
+
+def build_loggers(cfg) -> MultiLogger:
+    """Instantiate the `logging` config group (reference chooses pluggable
+    Lightning loggers per conf/logging/*.yaml; here each entry maps onto the
+    CSV or JSONL logger by `name`)."""
+    entries = []
+    try:
+        entries = list(cfg.logging.loggers)
+    except Exception:
+        pass
+    loggers = []
+    for e in entries:
+        kind = str(e.get("name", "csv")).lower()
+        loggers.append(_LOGGER_KINDS.get(kind, CSVLogger)(
+            str(e.get("save_dir", cfg.general.save_dir))))
+    if not loggers:
+        loggers = [CSVLogger(cfg.general.save_dir)]
+    return MultiLogger(loggers)
 
 
 class Prefetcher:
@@ -117,7 +171,7 @@ class Experiment:
         self.test_dataset = test_dataset
         self.collator = collator
         self.save_dir = cfg.general.save_dir
-        self.logger = CSVLogger(self.save_dir)
+        self.logger = build_loggers(cfg)
 
         self.n_devices = len(jax.devices())
         self.batch_size = int(cfg.data.batch_size)
@@ -144,8 +198,11 @@ class Experiment:
         steps_per_epoch = max(len(train_dataset) // self.batch_size, 1)
         total_steps = steps_per_epoch * int(cfg.trainer.max_epochs)
         self.steps_per_epoch = steps_per_epoch
+        sched_cfg = cfg.scheduler.get("scheduler", {}) if hasattr(cfg, "scheduler") else {}
         opt = make_optimizer(
             lr=float(cfg.optimizer.lr), total_steps=total_steps,
+            schedule=str(sched_cfg.get("name", "onecycle")),
+            gamma=float(sched_cfg.get("gamma", 0.99999)),
             weight_decay=float(cfg.optimizer.get("weight_decay", 1e-2)),
         )
         self.trainer = Trainer(model, criterion, opt, mesh=self.mesh)
@@ -260,16 +317,36 @@ class Experiment:
             total = float(np.asarray(losses["total"]))
             print(f"[epoch {epoch}] loss={total:.4f} "
                   f"({dt:.1f}s, {self.steps_per_epoch} steps)")
-            self.logger.log({"epoch": epoch, "loss_total": total,
-                             "epoch_seconds": dt})
+            row = {"epoch": epoch, "loss_total": total, "epoch_seconds": dt}
+            # per-loss / per-aux-layer scalars (reference trainer.py:149-162)
+            for k, v in losses.items():
+                if k == "total":
+                    continue
+                v = np.asarray(v)
+                if v.ndim == 0:
+                    row[f"train_{k}"] = float(v)
+                else:
+                    row[f"train_{k}"] = float(v[-1])
+                    for i in range(v.shape[0] - 1):
+                        row[f"train_{k}_aux{i}"] = float(v[i])
+            self.logger.log(row)
             save_checkpoint(ckpt_dir, state)
 
             if (epoch + 1) % check_every == 0 or epoch == max_epochs - 1:
                 results = self.evaluate(state, self.validation_dataset)
                 ap50 = results["all_ap_50%"]
-                self.logger.log({"epoch": epoch, "val_mean_ap": results["all_ap"],
-                                 "val_mean_ap_50": ap50,
-                                 "val_mean_ap_25": results["all_ap_25%"]})
+                row = {"epoch": epoch, "val_mean_ap": results["all_ap"],
+                       "val_mean_ap_50": ap50,
+                       "val_mean_ap_25": results["all_ap_25%"]}
+                # per-class AP table (reference trainer.py:785-918)
+                for label, aps in results.get("classes", {}).items():
+                    row[f"val_{label}_ap"] = aps["ap"]
+                    row[f"val_{label}_ap_50"] = aps["ap50%"]
+                    row[f"val_{label}_ap_25"] = aps["ap25%"]
+                for key in ("val_box_ap_25", "val_box_ap_50"):
+                    if key in results:
+                        row[key] = results[key]
+                self.logger.log(row)
                 print(f"[val] AP={results['all_ap']:.3f} AP50={ap50:.3f} "
                       f"AP25={results['all_ap_25%']:.3f}")
                 if ap50 > best_ap:
@@ -304,6 +381,11 @@ class Experiment:
                 scores_threshold=float(cfg.general.scores_threshold),
                 separate_instances=bool(cfg.general.separate_instances),
                 segment_connectivity=meta.segment_connectivity[0],
+                # reference DBSCAN query splitting (trainer/trainer.py:507-539)
+                use_dbscan=bool(cfg.general.get("use_dbscan", False)),
+                vox_coords=np.asarray(batch.raw_coords[:n_vox]),
+                dbscan_eps=float(cfg.general.get("dbscan_eps", 0.95)),
+                dbscan_min_points=int(cfg.general.get("dbscan_min_points", 1)),
             )
             # classes: head index 1 == 'foreground' (valid class id 1)
             preds[name] = {"masks": p["masks"], "classes": p["classes"],

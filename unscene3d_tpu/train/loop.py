@@ -38,9 +38,13 @@ def make_optimizer(
     total_steps: int = 10000,
     schedule: str = "onecycle",
     weight_decay: float = 1e-2,
+    gamma: float = 0.99999,
 ) -> optax.GradientTransformation:
-    """AdamW + torch-default OneCycleLR (cos anneal, pct_start .3,
-    div_factor 25, final_div 1e4)."""
+    """AdamW + the reference's scheduler menu: 'onecycle'
+    (conf/scheduler/onecyclelr.yaml, torch defaults: cos anneal, pct_start
+    .3, div_factor 25, final_div 1e4), 'exponential'
+    (conf/scheduler/exponentiallr.yaml, per-step gamma decay) or 'constant'
+    (conf/scheduler/lambdalr.yaml's unreachable StepLR)."""
     if schedule == "onecycle":
         # optax's onecycle emits NaN learning rates when a phase boundary
         # rounds to a zero-width interval (e.g. total_steps=2 in smoke runs)
@@ -51,6 +55,9 @@ def make_optimizer(
             div_factor=25.0,
             final_div_factor=1e4,
         )
+    elif schedule == "exponential":
+        sched = optax.exponential_decay(
+            init_value=lr, transition_steps=1, decay_rate=gamma)
     elif schedule == "constant":
         sched = lr
     else:

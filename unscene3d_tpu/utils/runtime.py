@@ -47,7 +47,9 @@ def init_on_cpu(init_fn, *args, **kwargs):
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return init_fn(*args, **kwargs)
-    with jax.default_device(cpu):
+    from unscene3d_tpu.ops.csr_conv import gather_fallback
+
+    with jax.default_device(cpu), gather_fallback():
         variables = init_fn(*args, **kwargs)
     default = jax.devices()[0]
     if default.platform == "cpu":
