@@ -22,6 +22,56 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _torch_bicubic_1d(x: jnp.ndarray, out_len: int, scale: float, axis: int):
+    """torch F.interpolate bicubic along one axis: cubic convolution A=-0.75,
+    half-pixel mapping src=(i+0.5)/scale-0.5 with the CALLER's scale factor
+    (recompute_scale_factor=False), border-replicated taps."""
+    in_len = x.shape[axis]
+    a = -0.75
+    pos = (jnp.arange(out_len) + 0.5) / scale - 0.5
+    base = jnp.floor(pos).astype(jnp.int32)
+    t = (pos - base).astype(x.dtype)
+    # cubic convolution weights at tap distances s: outer taps use
+    # a*s^3-5a*s^2+8a*s-4a, inner taps (a+2)s^3-(a+3)s^2+1 (torch UpSample.h)
+    def w_outer(s):
+        return a * s**3 - 5 * a * s**2 + 8 * a * s - 4 * a
+
+    def w_inner(s):
+        return (a + 2) * s**3 - (a + 3) * s**2 + 1
+
+    w = jnp.stack([w_outer(1 + t), w_inner(t), w_inner(1 - t), w_outer(2 - t)],
+                  axis=0)
+    out = 0.0
+    for tap in range(4):
+        idx = jnp.clip(base + tap - 1, 0, in_len - 1)
+        out = out + jnp.take(x, idx, axis=axis) * jnp.expand_dims(
+            w[tap], tuple(d for d in range(x.ndim) if d != axis))
+    return out
+
+
+def interpolate_pos_encoding_torch(pos: jnp.ndarray, h0: int, w0: int,
+                                   grid0: int) -> jnp.ndarray:
+    """Bit-faithful port of the reference's stride-trick pos-embed resize
+    (third_party/dino_vit/extractor.py:85-119): torch bicubic (A=-0.75) with
+    scale_factor=((w0+0.1)/g, (h0+0.1)/g) and recompute_scale_factor=False.
+
+    NOTE the reference applies the W-derived scale to the ROW axis and
+    flattens the resulting (w0, h0) grid over an (h0, w0) token layout — a
+    transposition on non-square inputs. Replicated verbatim so converted
+    weights reproduce reference features exactly.
+
+    pos: (1, g*g+1, D) -> (1, h0*w0+1, D).
+    """
+    if h0 == grid0 and w0 == grid0:
+        return pos
+    cls_pos, grid = pos[:, :1], pos[0, 1:]
+    d = grid.shape[-1]
+    grid = grid.reshape(grid0, grid0, d)
+    grid = _torch_bicubic_1d(grid, w0, (w0 + 0.1) / grid0, axis=0)
+    grid = _torch_bicubic_1d(grid, h0, (h0 + 0.1) / grid0, axis=1)
+    return jnp.concatenate([cls_pos, grid.reshape(1, h0 * w0, d)], axis=1)
+
+
 class _Attention(nn.Module):
     dim: int
     num_heads: int
@@ -88,17 +138,12 @@ class ViTExtractor(nn.Module):
         x = jnp.concatenate([jnp.tile(cls_token, (B, 1, 1)), x], axis=1)
 
         # positional embedding stored at the native patch-8 grid; re-interpolate
-        # to the reduced-stride grid (the reference's stride trick,
-        # third_party/dino_vit/extractor.py:85-140)
+        # to the reduced-stride grid with the reference's exact torch-bicubic
+        # stride trick (third_party/dino_vit/extractor.py:85-140)
         grid0 = 224 // self.patch_size
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, grid0 * grid0 + 1, self.dim))
-        pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
-        pos_grid = pos_grid.reshape(1, grid0, grid0, self.dim)
-        pos_grid = jax.image.resize(pos_grid, (1, h, w, self.dim), "bicubic")
-        x = x + jnp.concatenate(
-            [pos_cls, pos_grid.reshape(1, h * w, self.dim)], axis=1
-        )
+        x = x + interpolate_pos_encoding_torch(pos, h, w, grid0)
 
         feats = None
         qkv_last = None
@@ -155,14 +200,18 @@ class DinoNet:
         return np.asarray(jax.image.resize(feats, (B, H, W, c), "bilinear"))
 
 
-def load_torch_dino_weights(path: str, stride: int = 4) -> dict:
-    """Convert a torch dino ViT-S/8 state dict into flax variables."""
-    import torch
+def load_torch_dino_weights(path, stride: int = 4) -> dict:
+    """Convert a torch dino ViT-S/8 state dict (path or in-memory dict) into
+    flax variables."""
+    if isinstance(path, (str, bytes)):
+        import torch
 
-    sd = torch.load(path, map_location="cpu")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        sd = path
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+    sd = {k.replace("module.", ""): np.asarray(v) for k, v in sd.items()}
     p = {}
     p["cls_token"] = sd["cls_token"].reshape(1, 1, -1)
     p["pos_embed"] = sd["pos_embed"]
