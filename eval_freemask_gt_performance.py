@@ -24,10 +24,15 @@ def main():
     ap.add_argument("--gt_dir", required=True)
     ap.add_argument("--phase", default="val")
     ap.add_argument("--max_scenes", type=int, default=-1)
+    ap.add_argument("--hard_mask_threshold", type=float, default=0.5)
+    ap.add_argument("--max_extent_ratio", type=float, default=0.8,
+                    help="ScanNetFree XY instance-to-scene extent filter "
+                         "(scannet_free.py:322-338); <=0 disables")
     args = ap.parse_args()
 
     import torch
 
+    from unscene3d_tpu.data.pseudo_datasets import ScanNetFreeDataset
     from unscene3d_tpu.eval.instance_eval import evaluate_instances
 
     split_file = os.path.join(args.gt_dir, f"{args.phase}.txt")
@@ -39,15 +44,24 @@ def main():
     if args.max_scenes > 0:
         scenes = scenes[: args.max_scenes]
 
+    # reference-faithful mask loading: hard threshold + extent filter via the
+    # ScanNetFree dataset (pseudo_masks/eval_freemask_gt_performance.py:43-47)
+    dataset = ScanNetFreeDataset(
+        masks_path=args.masks_dir, scannet_insseg_path=args.gt_dir,
+        phase=args.phase, oracle_mode=False,  # explicit: score pseudo masks
+
+        hard_mask_threshold=args.hard_mask_threshold,
+        instance_to_scene_max_ratio=(args.max_extent_ratio
+                                     if args.max_extent_ratio > 0 else 1e9))
+
     preds, gts = {}, {}
     for scene in scenes:
         cloud_p = os.path.join(args.masks_dir, f"{scene}_cloud.npy")
-        masks_p = os.path.join(args.masks_dir, f"{scene}_masks.npy")
         gt_p = os.path.join(args.gt_dir, f"{scene}.pth")
         if not (os.path.exists(cloud_p) and os.path.exists(gt_p)):
             continue
         cloud = np.load(cloud_p)
-        masks = np.load(masks_p).astype(bool)
+        _, _, _, _, masks = dataset.load_unsupervised_scene(scene)
         points, _, sem, inst = [np.asarray(x) for x in
                                 torch.load(gt_p, map_location="cpu",
                                            weights_only=False)[:4]]

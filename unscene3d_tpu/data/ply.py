@@ -82,24 +82,37 @@ def read_ply(path: str) -> dict:
 
 
 def write_ply(path: str, vertices: np.ndarray, colors: np.ndarray | None = None,
-              faces: np.ndarray | None = None):
+              faces: np.ndarray | None = None,
+              extra: dict[str, np.ndarray] | None = None):
+    """`extra`: optional per-vertex scalar int32 properties (e.g. the
+    reference's S3DIS preprocessed plys carry label/instance_id/segment_id)."""
     v = np.asarray(vertices, np.float32)
+    extra = extra or {}
     with open(path, "wb") as f:
         hdr = ["ply", "format binary_little_endian 1.0",
                f"element vertex {len(v)}",
                "property float x", "property float y", "property float z"]
         if colors is not None:
             hdr += ["property uchar red", "property uchar green", "property uchar blue"]
+        for name in extra:
+            hdr.append(f"property int {name}")
         if faces is not None:
             hdr += [f"element face {len(faces)}",
                     "property list uchar int vertex_indices"]
         hdr.append("end_header")
         f.write(("\n".join(hdr) + "\n").encode())
+        fields = [("xyz", "<f4", (3,))]
         if colors is not None:
-            dt = np.dtype([("xyz", "<f4", (3,)), ("rgb", "u1", (3,))])
+            fields.append(("rgb", "u1", (3,)))
+        fields += [(name, "<i4") for name in extra]
+        if colors is not None or extra:
+            dt = np.dtype(fields)
             arr = np.empty(len(v), dt)
             arr["xyz"] = v
-            arr["rgb"] = np.asarray(colors, np.uint8)
+            if colors is not None:
+                arr["rgb"] = np.asarray(colors, np.uint8)
+            for name, vals in extra.items():
+                arr[name] = np.asarray(vals, np.int32)
             f.write(arr.tobytes())
         else:
             f.write(v.astype("<f4").tobytes())
