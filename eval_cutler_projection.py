@@ -81,8 +81,14 @@ def main():
 
     ds = ScanNetPseudoDataset(args.gt_dir, scans_path=args.scans_dir,
                               frame_skip=args.frame_skip)
+    # restrict to the fixed validation scene subset when available
+    # (reference eval_cutler_images.py:79 uses constants VAL_SCENES)
+    from unscene3d_tpu.data.dataset_sets import val_scenes
+
+    fixed_val = set(val_scenes(args.gt_dir))
     scenes = [s for s in ds.scenes
-              if os.path.isdir(os.path.join(args.masks_dir, s))]
+              if os.path.isdir(os.path.join(args.masks_dir, s))
+              and (not fixed_val or s in fixed_val)]
     if args.max_scenes > 0:
         scenes = scenes[: args.max_scenes]
 

@@ -124,6 +124,9 @@ def main():
     ap.add_argument("--freemask_dir", default=None)
     ap.add_argument("--oracle", action="store_true")
     ap.add_argument("--splits_dir", default=None)
+    ap.add_argument("--n_jobs", type=int, default=-1,
+                    help="joblib processes; -1 = all cores (reference "
+                         "base_preprocessing.py:46-48)")
     args = ap.parse_args()
 
     save_dir = Path(args.save_dir)
@@ -138,18 +141,28 @@ def main():
                 splits[mode] = {l.strip() for l in open(p) if l.strip()}
 
     scenes = sorted(d for d in Path(args.scans_dir).iterdir() if d.is_dir())
-    databases = {"train": [], "validation": []}
-    for i, scene_dir in enumerate(scenes):
-        mode = "train"
+
+    def scene_mode(scene_dir):
         for m, names in splits.items():
             if names and scene_dir.name in names:
-                mode = m
-        entry = process_scene(scene_dir, label_map, save_dir, mode,
-                              Path(args.freemask_dir) if args.freemask_dir else None,
-                              args.oracle)
+                return m
+        return "train"
+
+    fm_dir = Path(args.freemask_dir) if args.freemask_dir else None
+    jobs = [(d, scene_mode(d)) for d in scenes]
+    import multiprocessing
+
+    from joblib import Parallel, delayed
+
+    n_jobs = multiprocessing.cpu_count() if args.n_jobs == -1 else args.n_jobs
+    print(f"{len(jobs)} scenes, {n_jobs} workers")
+    results = Parallel(n_jobs=n_jobs, verbose=5)(
+        delayed(process_scene)(d, label_map, save_dir, m, fm_dir, args.oracle)
+        for d, m in jobs)
+    databases = {"train": [], "validation": []}
+    for (d, m), entry in zip(jobs, results):
         if entry:
-            databases[mode].append(entry)
-        print(f"[{i + 1}/{len(scenes)}] {scene_dir.name} -> {mode}")
+            databases[m].append(entry)
 
     for mode, db in databases.items():
         if db:

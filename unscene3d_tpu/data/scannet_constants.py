@@ -39,6 +39,101 @@ VALID_CLASS_IDS_200 = (
     1190, 1191,
 )
 
+# ScanNet200 class names aligned index-for-index with VALID_CLASS_IDS_200
+# (benchmark-standard tables, datasets/scannet200/scannet200_constants.py:57)
+CLASS_LABELS_200 = (
+    "wall", "chair", "floor", "table", "door", "couch", "cabinet", "shelf",
+    "desk", "office chair", "bed", "pillow", "sink", "picture", "window",
+    "toilet", "bookshelf", "monitor", "curtain", "book", "armchair",
+    "coffee table", "box", "refrigerator", "lamp", "kitchen cabinet",
+    "towel", "clothes", "tv", "nightstand", "counter", "dresser", "stool",
+    "cushion", "plant", "ceiling", "bathtub", "end table", "dining table",
+    "keyboard", "bag", "backpack", "toilet paper", "printer", "tv stand",
+    "whiteboard", "blanket", "shower curtain", "trash can", "closet",
+    "stairs", "microwave", "stove", "shoe", "computer tower", "bottle",
+    "bin", "ottoman", "bench", "board", "washing machine", "mirror",
+    "copier", "basket", "sofa chair", "file cabinet", "fan", "laptop",
+    "shower", "paper", "person", "paper towel dispenser", "oven", "blinds",
+    "rack", "plate", "blackboard", "piano", "suitcase", "rail", "radiator",
+    "recycling bin", "container", "wardrobe", "soap dispenser", "telephone",
+    "bucket", "clock", "stand", "light", "laundry basket", "pipe",
+    "clothes dryer", "guitar", "toilet paper holder", "seat", "speaker",
+    "column", "bicycle", "ladder", "bathroom stall", "shower wall", "cup",
+    "jacket", "storage bin", "coffee maker", "dishwasher",
+    "paper towel roll", "machine", "mat", "windowsill", "bar", "toaster",
+    "bulletin board", "ironing board", "fireplace", "soap dish",
+    "kitchen counter", "doorframe", "toilet paper dispenser", "mini fridge",
+    "fire extinguisher", "ball", "hat", "shower curtain rod", "water cooler",
+    "paper cutter", "tray", "shower door", "pillar", "ledge", "toaster oven",
+    "mouse", "toilet seat cover dispenser", "furniture", "cart",
+    "storage container", "scale", "tissue box", "light switch", "crate",
+    "power outlet", "decoration", "sign", "projector", "closet door",
+    "vacuum cleaner", "candle", "plunger", "stuffed animal", "headphones",
+    "dish rack", "broom", "guitar case", "range hood", "dustpan",
+    "hair dryer", "water bottle", "handicap bar", "purse", "vent",
+    "shower floor", "water pitcher", "mailbox", "bowl", "paper bag",
+    "alarm clock", "music stand", "projector screen", "divider",
+    "laundry detergent", "bathroom counter", "object", "bathroom vanity",
+    "closet wall", "laundry hamper", "bathroom stall door", "ceiling light",
+    "trash bin", "dumbbell", "stair rail", "tube", "bathroom cabinet",
+    "cd case", "closet rod", "coffee kettle", "structure", "shower head",
+    "keyboard piano", "case of water bottles", "coat rack",
+    "storage organizer", "folded chair", "fire alarm", "power strip",
+    "calendar", "poster", "potted plant", "luggage", "mattress",
+)
+
+
+# head / common / tail frequency splits used by the eval reporting
+# (datasets/scannet200/scannet200_splits.py:3-5, trainer/trainer.py:861-870)
+HEAD_CATS_SCANNET_200 = (
+    "tv stand", "curtain", "blinds", "shower curtain", "bookshelf", "tv",
+    "kitchen cabinet", "pillow", "lamp", "dresser", "monitor", "object",
+    "ceiling", "board", "stove", "closet wall", "couch", "office chair",
+    "kitchen counter", "shower", "closet", "doorframe", "sofa chair",
+    "mailbox", "nightstand", "washing machine", "picture", "book", "sink",
+    "recycling bin", "table", "backpack", "shower wall", "toilet", "copier",
+    "counter", "stool", "refrigerator", "window", "file cabinet", "chair",
+    "wall", "plant", "coffee table", "stairs", "armchair", "cabinet",
+    "bathroom vanity", "bathroom stall", "mirror", "blackboard", "trash can",
+    "stair rail", "box", "towel", "door", "clothes", "whiteboard", "bed",
+    "floor", "bathtub", "desk", "wardrobe", "clothes dryer", "radiator",
+    "shelf",
+)
+
+COMMON_CATS_SCANNET_200 = (
+    "cushion", "end table", "dining table", "keyboard", "bag",
+    "toilet paper", "printer", "blanket", "microwave", "shoe",
+    "computer tower", "bottle", "bin", "ottoman", "bench", "basket", "fan",
+    "laptop", "person", "paper towel dispenser", "oven", "rack", "piano",
+    "suitcase", "rail", "container", "telephone", "stand", "light",
+    "laundry basket", "pipe", "seat", "column", "bicycle", "ladder",
+    "jacket", "storage bin", "coffee maker", "dishwasher", "machine", "mat",
+    "windowsill", "bulletin board", "fireplace", "mini fridge",
+    "water cooler", "shower door", "pillar", "ledge", "furniture", "cart",
+    "decoration", "closet door", "vacuum cleaner", "dish rack", "range hood",
+    "projector screen", "divider", "bathroom counter", "laundry hamper",
+    "bathroom stall door", "ceiling light", "trash bin", "bathroom cabinet",
+    "structure", "storage organizer", "potted plant", "mattress",
+)
+
+TAIL_CATS_SCANNET_200 = (
+    "paper", "plate", "soap dispenser", "bucket", "clock", "guitar",
+    "toilet paper holder", "speaker", "cup", "paper towel roll", "bar",
+    "toaster", "ironing board", "soap dish", "toilet paper dispenser",
+    "fire extinguisher", "ball", "hat", "shower curtain rod", "paper cutter",
+    "tray", "toaster oven", "mouse", "toilet seat cover dispenser",
+    "storage container", "scale", "tissue box", "light switch", "crate",
+    "power outlet", "sign", "projector", "candle", "plunger",
+    "stuffed animal", "headphones", "broom", "guitar case", "dustpan",
+    "hair dryer", "water bottle", "handicap bar", "purse", "vent",
+    "shower floor", "water pitcher", "bowl", "paper bag", "alarm clock",
+    "music stand", "laundry detergent", "dumbbell", "tube", "cd case",
+    "closet rod", "coffee kettle", "shower head", "keyboard piano",
+    "case of water bottles", "coat rack", "folded chair", "fire alarm",
+    "power strip", "calendar", "poster", "luggage",
+)
+
+
 # floor / wall raw-ids filtered out for class-agnostic freemask training
 # (reference conf: filter_out_classes floor+wall)
 FLOOR_WALL_RAW_IDS = (1, 3)  # wall=1, floor=3 in the ScanNet raw-id space

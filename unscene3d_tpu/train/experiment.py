@@ -343,6 +343,20 @@ class Experiment:
                     row[f"val_{label}_ap"] = aps["ap"]
                     row[f"val_{label}_ap_50"] = aps["ap50%"]
                     row[f"val_{label}_ap_25"] = aps["ap25%"]
+                # head/common/tail frequency-split means on scannet200-style
+                # label spaces (reference trainer.py:855-903)
+                from unscene3d_tpu.data.scannet_constants import (
+                    COMMON_CATS_SCANNET_200, HEAD_CATS_SCANNET_200,
+                    TAIL_CATS_SCANNET_200)
+
+                splits = {"head": HEAD_CATS_SCANNET_200,
+                          "common": COMMON_CATS_SCANNET_200,
+                          "tail": TAIL_CATS_SCANNET_200}
+                for split_name, cats in splits.items():
+                    vals = [aps["ap"] for label, aps in
+                            results.get("classes", {}).items() if label in cats]
+                    if vals:
+                        row[f"val_mean_{split_name}_ap"] = float(np.nanmean(vals))
                 for key in ("val_box_ap_25", "val_box_ap_50"):
                     if key in results:
                         row[key] = results[key]
