@@ -78,3 +78,40 @@ def test_multichip_dp_step():
     # params stay replicated and finite
     leaf = jax.tree.leaves(state.params)[0]
     assert bool(jnp.isfinite(leaf).all())
+
+
+def test_prefetcher_multiworker_order_and_equality():
+    """Multi-worker prefetch must emit the same batches in the same order as
+    single-worker (bitwise reproducibility), without deadlocking even when a
+    low-index batch is much slower than its successors."""
+    import time
+
+    import numpy as np
+
+    from unscene3d_tpu.train.experiment import Prefetcher
+
+    def make(i):
+        if i == 0:
+            time.sleep(0.3)  # slow head batch: workers race far ahead
+        return {"i": np.full((4,), i)}
+
+    single = [b["i"].copy() for b in Prefetcher(make, 12, to_device=False,
+                                                num_workers=1)]
+    multi = [b["i"].copy() for b in Prefetcher(make, 12, to_device=False,
+                                               num_workers=4)]
+    assert len(multi) == 12
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_epoch_ids_deterministic_draw():
+    """Pre-drawn epoch ids traverse the dataset exactly once per epoch."""
+    import numpy as np
+
+    from unscene3d_tpu.train.experiment import _EpochSampler
+
+    s = _EpochSampler(10, np.random.RandomState(0))
+    ids = [i for _ in range(5) for i in s.next(2)]
+    assert sorted(ids) == list(range(10))
+    ids2 = [i for _ in range(5) for i in s.next(2)]
+    assert sorted(ids2) == list(range(10))
