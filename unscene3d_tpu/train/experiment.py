@@ -492,6 +492,18 @@ class Experiment:
                         meta.full_res_coords[0])
                 np.save(os.path.join(out_dir, f"{name}_masks.npy"),
                         p["masks"].astype(bool))
+            if bool(cfg.general.get("save_visualizations", False)):
+                # colored-PLY export in place of the reference's pyviz3d
+                # scenes (trainer/trainer.py:197-357)
+                from unscene3d_tpu.eval.visualize import save_scene_visualization
+
+                save_scene_visualization(
+                    os.path.join(self.save_dir, "visualizations"), name,
+                    meta.full_res_coords[0],
+                    colors=np.asarray(scene.get("colors"))
+                    if scene.get("colors") is not None else None,
+                    segments=meta.original_segments[0],
+                    masks=p["masks"].astype(bool))
         results = evaluate_instances(preds, gts, min_region_size=10)
         if with_boxes and bbox_preds:
             # VOC box AP at IoU .25/.5 (reference trainer/trainer.py:791-796)
