@@ -44,6 +44,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from unscene3d_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from unscene3d_tpu.data.collate import FreeMaskCollator
     from unscene3d_tpu.data.synthetic import make_scene
     from unscene3d_tpu.models.backbone import Res16UNet34C
