@@ -101,6 +101,16 @@ def main():
             csr, n_scenes, backbone_only = (0,), 2, False
         elif variant == "nocsr":
             csr, n_scenes, backbone_only = (), 1, False
+        elif variant == "fused":
+            from unscene3d_tpu.ops import conv_ops
+
+            conv_ops.set_default_k3_impl("fused")
+            csr, n_scenes, backbone_only = (0,), 1, False
+        elif variant == "fused012":
+            from unscene3d_tpu.ops import conv_ops
+
+            conv_ops.set_default_k3_impl("fused")
+            csr, n_scenes, backbone_only = (0, 1, 2), 1, False
         else:
             print(f"unknown variant {variant}", file=sys.stderr)
             continue

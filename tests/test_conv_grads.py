@@ -77,3 +77,42 @@ def test_bias_grads():
     # d/db of sum over valid rows = number of valid rows
     np.testing.assert_allclose(np.asarray(g), float(np.asarray(fine.valid).sum()),
                                rtol=1e-5)
+
+
+def test_fused_impl_matches_scan():
+    """The big-K fused formulation must match the scan formulation in both
+    forward and gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unscene3d_tpu.data.collate import FreeMaskCollator
+    from unscene3d_tpu.data.synthetic import make_scene
+    from unscene3d_tpu.ops import conv_ops
+
+    scene = make_scene(num_points=4000, num_objects=3, extent=3.0, seed=0)
+    batch, _ = FreeMaskCollator(voxel_size=0.05)([scene])
+    level = batch.graph.levels[1]
+    rng = np.random.RandomState(0)
+    n, cin, cout = level.num_padded, 8, 8
+    x = jnp.asarray(rng.rand(n, cin).astype(np.float32)) * \
+        level.valid[:, None].astype(jnp.float32)
+    w = jnp.asarray(rng.rand(27, cin, cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.rand(cout).astype(np.float32))
+    cot = jnp.asarray(rng.rand(n, cout).astype(np.float32))
+
+    def loss(impl):
+        def f(x, w, bias):
+            return (conv_ops.sparse_conv3(x, w, level, bias, impl=impl) * cot).sum()
+        return f
+
+    o_scan = conv_ops.sparse_conv3(x, w, level, bias, impl="scan")
+    o_fused = conv_ops.sparse_conv3(x, w, level, bias, impl="fused")
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_scan),
+                               rtol=1e-4, atol=1e-4)
+
+    g_scan = jax.grad(loss("scan"), argnums=(0, 1, 2))(x, w, bias)
+    g_fused = jax.grad(loss("fused"), argnums=(0, 1, 2))(x, w, bias)
+    for a, b in zip(g_fused, g_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

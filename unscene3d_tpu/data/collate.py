@@ -20,6 +20,14 @@ from unscene3d_tpu.ops.kernel_maps import build_sparse_graph
 from unscene3d_tpu.ops.sparse_graph import bucket_size
 
 
+def _merge_csr_pb(entries):
+    """Elementwise max of per-offset csr bucket lists (0 = level without csr)."""
+    lists = [e for e in entries if isinstance(e, (list, tuple))]
+    if not lists:
+        return 0
+    return [max(l[i] for l in lists) for i in range(len(lists[0]))]
+
+
 @dataclasses.dataclass
 class CollateMeta:
     """Host-only per-scene metadata for full-res eval / export."""
@@ -222,7 +230,7 @@ class FreeMaskCollator:
             levels=[l.num_padded for l in batch.graph.levels],
             bricks=[(l.brick.num_bricks if l.brick is not None else 0)
                     for l in batch.graph.levels],
-            csr_pb=[(l.csr.pb if l.csr is not None else 0)
+            csr_pb=[(list(l.csr.pb) if l.csr is not None else 0)
                     for l in batch.graph.levels],
             scene_n=[si.shape[1] for si in batch.scene_idx],
             s_max=batch.seg_valid.shape[1],
@@ -236,7 +244,7 @@ class FreeMaskCollator:
         return dict(
             levels=[max(p["levels"][i] for p in plans) for i in range(len(plans[0]["levels"]))],
             bricks=[max(p["bricks"][i] for p in plans) for i in range(len(plans[0]["bricks"]))],
-            csr_pb=[max(p.get("csr_pb", [0]*5)[i] for p in plans)
+            csr_pb=[_merge_csr_pb([p.get("csr_pb", [0] * 5)[i] for p in plans])
                     for i in range(len(plans[0]["levels"]))],
             scene_n=[max(p["scene_n"][i] for p in plans) for i in range(len(plans[0]["scene_n"]))],
             s_max=max(p["s_max"] for p in plans),

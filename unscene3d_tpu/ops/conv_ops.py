@@ -71,6 +71,50 @@ def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(w, axis=0).swapaxes(-1, -2)
 
 
+# ------------------------------------------------------------- fused conv3
+def _fused_gather_gemm(x, w, idx, n_out, bias, out_valid):
+    """Big-K formulation: ONE (N, 27, C) gather + ONE (N, 27C)@(27C, Cout)
+    GEMM. The scan formulation's 27 separate K=C GEMMs run the MXU at a few
+    percent utilization (trace: ~93ms of GEMM in a 215ms backbone); a single
+    K=27C GEMM amortizes the systolic pipeline. Relies on the repo invariant
+    that padding rows of x are zero (invalid neighbors index the last row),
+    so no per-pair masking is needed."""
+    n27, cin = idx.shape[0], x.shape[1]
+    g = jnp.take(x, idx.T, axis=0)                    # (N, 27, C)
+    out = jax.lax.dot_general(
+        g.reshape(n_out, n27 * cin), w.reshape(n27 * cin, -1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return (out * out_valid[:, None].astype(out.dtype)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _conv3_fused(x, w, bias, level):
+    return _fused_gather_gemm(x, w, level.nbr_idx, level.num_padded,
+                              bias, level.valid)
+
+
+def _conv3_fused_fwd(x, w, bias, level):
+    return _conv3_fused(x, w, bias, level), (x, w, bias, level)
+
+
+def _conv3_fused_bwd(res, g):
+    x, w, bias, level = res
+    gm = (g * level.valid[:, None].astype(g.dtype)).astype(x.dtype)
+    dx = _fused_gather_gemm(gm, _flip_transpose(w).astype(w.dtype),
+                            level.nbr_idx, level.num_padded, None, level.valid)
+    gather = jnp.take(x, level.nbr_idx.T, axis=0)     # (N, 27, C)
+    dw = jnp.einsum("nkc,nd->kcd", gather.astype(jnp.float32),
+                    gm.astype(jnp.float32))
+    dbias = gm.astype(jnp.float32).sum(0).astype(bias.dtype) if bias is not None else None
+    return dx.astype(x.dtype), dw.astype(w.dtype), dbias, None
+
+
+_conv3_fused.defvjp(_conv3_fused_fwd, _conv3_fused_bwd)
+
+
 # --------------------------------------------------------------------- conv3
 @jax.custom_vjp
 def _conv3(x, w, bias, level):
@@ -96,15 +140,28 @@ def _conv3_bwd(res, g):
 _conv3.defvjp(_conv3_fwd, _conv3_bwd)
 
 
+_DEFAULT_K3_IMPL = ["scan"]
+
+
+def set_default_k3_impl(impl: str):
+    """Select the k3 formulation for levels without a CSR/brick graph:
+    'scan' | 'unroll' | 'fused'."""
+    _DEFAULT_K3_IMPL[0] = impl
+
+
 def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
                  bias: jnp.ndarray | None = None,
-                 impl: str = "scan") -> jnp.ndarray:
+                 impl: str | None = None) -> jnp.ndarray:
     """kernel_size=3, stride=1 sparse conv at one level.
 
     x: (N, Cin), w: (27, Cin, Cout). Output (N, Cout) on the same coords.
-    impl: 'scan' (default, custom scatter-free VJP), 'unroll' (autodiff,
-    per-offset parallelism), or the dense-brick path when level.brick is set.
+    impl: 'scan' (custom scatter-free VJP), 'unroll' (autodiff, per-offset
+    parallelism), 'fused' (one big-K gather+GEMM, scatter-free VJP), or the
+    dense-brick / CSR paths when the level carries those graphs. None uses
+    the module default (set_default_k3_impl).
     """
+    if impl is None:
+        impl = _DEFAULT_K3_IMPL[0]
     if level.brick is not None:
         from unscene3d_tpu.ops.bricks import brick_conv3
 
@@ -133,6 +190,9 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
         if bias is not None:
             out = out + bias
         return (out * level.valid[:, None].astype(out.dtype)).astype(x.dtype)
+
+    if impl == "fused":
+        return _conv3_fused(x, w, bias, level)
 
     return _conv3(x, w, bias, level)
 

@@ -71,15 +71,26 @@ FAR = np.int32(2**31 - 2**8)  # dummy-pair out row: never matches any tile
 class CsrGraph:
     """Pair tables of one level's k3 topology (non-center offsets).
 
-    Pair axis layout: 26 blocks of uniform stride `pb` (offset ki's pairs at
-    [ki*pb, ki*pb + count_ki), dummy-padded), plus a 2*TILE tail so every
-    chunk start has a full 2-block read window.
+    Pair axis layout: 26 back-to-back RAGGED blocks — offset ki's pairs live
+    at [base_ki, base_ki + count_ki) inside a bucket of pb[ki] rows whose
+    tail is >= 2*TILE dummies, so every chunk start has a full 2-block read
+    window that cannot bleed real out-rows from the next offset. (Uniform
+    blocks wasted ~30% of the gather rows at dense levels, where per-offset
+    valid counts are skewed.)
     """
 
     in_rows: jnp.ndarray    # (P_pad,) int32 into the level's flat rows
     out_rows: jnp.ndarray   # (P_pad, 1) int32; dummy pairs -> FAR
     starts: jnp.ndarray     # (O, 26) int32 chunk start per (out tile, offset)
-    pb: int = struct.field(pytree_node=False, default=0)
+    pb: tuple = struct.field(pytree_node=False, default=())  # 26 bucket sizes
+
+    @property
+    def bases(self) -> tuple:
+        out, acc = [], 0
+        for b in self.pb:
+            out.append(acc)
+            acc += b
+        return tuple(out)
 
     @property
     def num_pairs_padded(self) -> int:
@@ -87,10 +98,11 @@ class CsrGraph:
 
 
 def build_csr_graph(nbr_idx: np.ndarray, n_pad: int,
-                    pb: int | None = None) -> CsrGraph:
+                    pb=None) -> CsrGraph:
     """Build pair tables from a (27, N_pad) k3 neighbor map (missing ->
-    n_pad-1). Excludes the center offset (13). `pb`: per-offset block
-    stride from a pad plan (bucketed max valid count otherwise)."""
+    n_pad-1). Excludes the center offset (13). `pb`: per-offset bucket sizes
+    from a pad plan (26 ints; a single int means uniform buckets; None
+    buckets each offset's own valid count)."""
     from unscene3d_tpu.ops.sparse_graph import bucket_size
 
     nbr_idx = np.asarray(nbr_idx)
@@ -101,21 +113,27 @@ def build_csr_graph(nbr_idx: np.ndarray, n_pad: int,
     ks = [k for k in range(27) if k != 13]
     valids = [nbr_idx[k] != (n_pad - 1) for k in ks]
     counts = [int(v.sum()) for v in valids]
+    # >= 2*TILE dummy gap at each bucket end so a chunk's 2-block read
+    # window can never reach the next offset's bucket (whose out rows would
+    # falsely match the one-hot filter)
     if pb is None:
-        # >= 2*TILE dummy gap at each block end so a chunk's 2-block read
-        # window can never reach the next offset block (whose out rows would
-        # falsely match the one-hot filter)
-        pb = bucket_size(max(counts) + 2 * TILE + 1, align=TILE,
-                         min_size=4 * TILE)
-    assert pb >= max(counts) + 2 * TILE
-    p_pad = 26 * pb + 2 * TILE
+        pbs = tuple(bucket_size(c + 2 * TILE + 1, align=TILE,
+                                min_size=4 * TILE) for c in counts)
+    elif isinstance(pb, (int, np.integer)):
+        pbs = (int(pb),) * 26
+    else:
+        pbs = tuple(int(b) for b in pb)
+    for c, b in zip(counts, pbs):
+        assert b >= c + 2 * TILE, f"csr bucket {b} too small for {c} pairs"
+    bases = np.concatenate([[0], np.cumsum(pbs)])[:26].astype(np.int64)
+    p_pad = int(sum(pbs)) + 2 * TILE
 
     in_rows = np.full(p_pad, n_pad - 1, np.int32)   # dummies gather zero row
     out_rows = np.full(p_pad, FAR, np.int32)
     starts = np.zeros((o_tiles, 26), np.int32)
     for ki, k in enumerate(ks):
         outs = np.nonzero(valids[ki])[0].astype(np.int32)
-        lo = ki * pb
+        lo = int(bases[ki])
         in_rows[lo:lo + counts[ki]] = nbr_idx[k][valids[ki]].astype(np.int32)
         out_rows[lo:lo + counts[ki]] = outs
         s = lo + np.searchsorted(outs, np.arange(o_tiles) * TILE)
@@ -125,7 +143,7 @@ def build_csr_graph(nbr_idx: np.ndarray, n_pad: int,
         in_rows=jnp.asarray(in_rows),
         out_rows=jnp.asarray(out_rows[:, None]),
         starts=jnp.asarray(starts),
-        pb=int(pb),
+        pb=pbs,
     )
 
 
@@ -274,13 +292,13 @@ def _csr_bwd(res, g):
     outs = jnp.where(csr.out_rows[:, 0] == FAR, x.shape[0] - 1,
                      csr.out_rows[:, 0])
     gg = jnp.take(gm, outs, axis=0).astype(jnp.float32)
-    pb = csr.pb
+    bases = csr.bases
     dws = []
     for ki in range(26):
-        lo = ki * pb
+        lo, b = bases[ki], csr.pb[ki]
         # dummies contribute zero (xg dummy rows are the zero padding row;
         # gg dummy rows are the masked zero padding row)
-        dws.append(jnp.einsum("pc,pd->cd", xg[lo:lo + pb], gg[lo:lo + pb]))
+        dws.append(jnp.einsum("pc,pd->cd", xg[lo:lo + b], gg[lo:lo + b]))
     dw_center = jnp.einsum("nc,nd->cd", x.astype(jnp.float32),
                            gm.astype(jnp.float32))
     dw = jnp.stack(dws[:13] + [dw_center] + dws[13:], axis=0)
