@@ -58,9 +58,18 @@ def main():
 
     save_dir = cfg.misc.save_dir
     bs = int(cfg.data.batch_size)
-    n = len(dataset)
+    # host sharding (the reference's submitit_slurm launcher role,
+    # pseudo_masks/config/default.yaml:124-125): each host processes the
+    # strided slice misc.shard of misc.num_shards; outputs are idempotent
+    # per scene so shards never conflict
+    num_shards = int(cfg.misc.get("num_shards", 1) or 1)
+    shard = int(cfg.misc.get("shard", 0) or 0)
+    indices = list(range(shard, len(dataset), num_shards))
+    n = len(indices)
+    if num_shards > 1:
+        print(f"[shard {shard}/{num_shards}] {n} of {len(dataset)} scenes")
     for start in range(0, n, bs):
-        scenes = [dataset[i] for i in range(start, min(start + bs, n))]
+        scenes = [dataset[indices[i]] for i in range(start, min(start + bs, n))]
         results = pipeline.process_scenes(scenes, save_dir=save_dir)
         done = ", ".join(f"{k}:{v[1].shape[1]}m" for k, v in results.items())
         print(f"[{start + len(scenes)}/{n}] {done}")

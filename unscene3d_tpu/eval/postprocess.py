@@ -94,17 +94,43 @@ def separate_segments(foreground: np.ndarray, unique_segments: np.ndarray,
 
     foreground: (S,) bool over unique_segments; connectivity: (E, 2) segment
     id pairs. Returns list of arrays of segment ids."""
-    fg_ids = unique_segments[foreground]
-    id_to_pos = {int(s): i for i, s in enumerate(fg_ids)}
-    uf = _UnionFind(len(fg_ids))
-    for a, b in connectivity:
-        pa, pb = id_to_pos.get(int(a)), id_to_pos.get(int(b))
-        if pa is not None and pb is not None:
-            uf.union(pa, pb)
-    comps = {}
-    for i, s in enumerate(fg_ids):
-        comps.setdefault(uf.find(i), []).append(int(s))
-    return [np.asarray(v) for v in comps.values()]
+    fg_ids = np.asarray(unique_segments)[np.asarray(foreground)]
+    n = len(fg_ids)
+    if n == 0:
+        return []
+    conn = np.asarray(connectivity).reshape(-1, 2)
+    # map arbitrary segment ids -> fg positions (vectorized; the per-edge
+    # Python loop dominated the NCut batch at ~1.1ms x scenes x iterations)
+    sorter = np.argsort(fg_ids, kind="stable")
+    sorted_ids = fg_ids[sorter]
+
+    def to_pos(ids):
+        p = np.searchsorted(sorted_ids, ids)
+        p_clip = np.minimum(p, n - 1)
+        ok = sorted_ids[p_clip] == ids
+        return sorter[p_clip], ok
+
+    if conn.size:
+        pa, ok_a = to_pos(conn[:, 0])
+        pb, ok_b = to_pos(conn[:, 1])
+        keep = ok_a & ok_b
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import connected_components
+
+        g = sp.coo_matrix(
+            (np.ones(int(keep.sum()), np.int8), (pa[keep], pb[keep])),
+            shape=(n, n))
+        _, labels = connected_components(g, directed=False)
+    else:
+        labels = np.arange(n)
+    # component order = first occurrence in fg order (matches the reference's
+    # blob-creation order and the previous union-find's dict insertion order)
+    first = {}
+    for i, lab in enumerate(labels):
+        if lab not in first:
+            first[lab] = i
+    order = sorted(first, key=first.get)
+    return [fg_ids[labels == lab] for lab in order]
 
 
 def dbscan_split_queries(vox_masks: np.ndarray, pred_logits: np.ndarray,
