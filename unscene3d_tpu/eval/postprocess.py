@@ -125,11 +125,8 @@ def separate_segments(foreground: np.ndarray, unique_segments: np.ndarray,
         labels = np.arange(n)
     # component order = first occurrence in fg order (matches the reference's
     # blob-creation order and the previous union-find's dict insertion order)
-    first = {}
-    for i, lab in enumerate(labels):
-        if lab not in first:
-            first[lab] = i
-    order = sorted(first, key=first.get)
+    uniq_labs, first_idx = np.unique(labels, return_index=True)
+    order = uniq_labs[np.argsort(first_idx, kind="stable")]
     return [fg_ids[labels == lab] for lab in order]
 
 
