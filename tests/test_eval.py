@@ -94,3 +94,44 @@ def test_separate_segments_components():
     comps = separate_segments(fg, uniq, conn)
     comps = sorted([sorted(c.tolist()) for c in comps])
     assert comps == [[0, 1], [3, 4]]
+
+
+def test_packed_eval_matches_host_path():
+    """Device-side post-processing (bit-packed masks + on-device scoring)
+    must reproduce the host path exactly."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unscene3d_tpu.eval.postprocess import (
+        eval_scene_predictions, eval_scene_predictions_packed)
+
+    rng = np.random.RandomState(0)
+    n_pad, n_vox, q, c = 512, 477, 10, 3
+    logits = rng.randn(q, c).astype(np.float32) * 2
+    vox = rng.randn(n_pad, q).astype(np.float32)
+    valid = np.zeros(n_pad, bool)
+    valid[:n_vox] = True
+    inverse_map = rng.randint(0, n_vox, 1500)
+    p2s = rng.randint(0, 40, 1500)
+    conn = np.column_stack([np.arange(39), np.arange(1, 40)])
+
+    kwargs = dict(inverse_map=inverse_map, point2segment_full=p2s,
+                  eval_on_segments=True, topk_per_image=-1,
+                  filter_instances=True, iou_threshold=0.9,
+                  scores_threshold=0.01, separate_instances=False,
+                  segment_connectivity=conn)
+    want = eval_scene_predictions(logits, vox[:n_vox], **kwargs)
+
+    # replicate the device math (train/loop.py::build_eval_step_device_post)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    binary = (vox > 0) & valid[:, None]
+    heat = 1 / (1 + np.exp(-vox))
+    mask_scores = (heat * binary).sum(0) / (binary.sum(0) + 1e-6)
+    packed = np.packbits(binary, axis=0)
+
+    got = eval_scene_predictions_packed(probs, mask_scores, packed, n_vox,
+                                        **kwargs)
+    np.testing.assert_array_equal(got["masks"], want["masks"])
+    np.testing.assert_array_equal(got["classes"], want["classes"])
+    np.testing.assert_allclose(got["scores"], want["scores"], rtol=1e-5)

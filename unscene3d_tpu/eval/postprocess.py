@@ -183,6 +183,51 @@ def eval_scene_predictions(
     scores, masks, classes, heatmap = get_mask_and_scores(
         probs, vox_masks, topk_per_image
     )
+    return _postprocess_tail(
+        scores, masks, classes, inverse_map, point2segment_full,
+        eval_on_segments, filter_instances, iou_threshold, scores_threshold,
+        separate_instances, segment_connectivity)
+
+
+def eval_scene_predictions_packed(
+    probs: np.ndarray,             # (Q, C) device softmax incl no-object col
+    mask_scores: np.ndarray,       # (Q,) device sigmoid mask scores
+    packed_masks: np.ndarray,      # (ceil(N_pad/8), Q) uint8 device-packed
+    n_vox: int,
+    inverse_map: np.ndarray,
+    point2segment_full: np.ndarray | None,
+    eval_on_segments: bool = True,
+    topk_per_image: int = -1,
+    filter_instances: bool = False,
+    iou_threshold: float = 1.0,
+    scores_threshold: float = 0.0,
+    separate_instances: bool = False,
+    segment_connectivity: np.ndarray | None = None,
+) -> dict:
+    """eval_scene_predictions over DEVICE-post-processed outputs
+    (Trainer.build_eval_step_device_post): the heavy sigmoid/threshold work
+    and the (N, Q) float transfer stay on device; the host unpacks bits and
+    runs the tiny topk + filtering."""
+    cls = np.asarray(probs, np.float64)[:, :-1]
+    num_queries, num_classes = cls.shape
+    k = num_queries if topk_per_image == -1 else topk_per_image
+    flat = cls.reshape(-1)
+    topk_indices = np.argsort(-flat, kind="stable")[:k]
+    scores = flat[topk_indices] * np.asarray(mask_scores, np.float64)[
+        topk_indices // num_classes]
+    classes = topk_indices % num_classes
+    binary = np.unpackbits(np.asarray(packed_masks), axis=0)[:n_vox]
+    masks = binary[:, topk_indices // num_classes].astype(np.float32)
+    return _postprocess_tail(
+        scores, masks, classes, inverse_map, point2segment_full,
+        eval_on_segments, filter_instances, iou_threshold, scores_threshold,
+        separate_instances, segment_connectivity)
+
+
+def _postprocess_tail(scores, masks, classes, inverse_map,
+                      point2segment_full, eval_on_segments, filter_instances,
+                      iou_threshold, scores_threshold, separate_instances,
+                      segment_connectivity):
     masks = get_full_res_mask(masks, inverse_map, point2segment_full,
                               eval_on_segments)
 

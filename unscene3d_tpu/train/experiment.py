@@ -443,7 +443,12 @@ class Experiment:
     def evaluate(self, state, dataset, save_for_freemask: bool = False,
                  max_scenes: int | None = None, with_boxes: bool = True) -> dict:
         cfg = self.cfg
-        eval_fn = self.trainer.build_eval_step()
+        use_dbscan = bool(cfg.general.get("use_dbscan", False))
+        # device-side post-processing (bit-packed masks + on-device scoring)
+        # unless DBSCAN splitting needs the raw per-voxel logits on host
+        eval_fn = (self.trainer.build_eval_step()
+                   if use_dbscan else
+                   self.trainer.build_eval_step_device_post())
         preds, gts = {}, {}
         bbox_preds, bbox_gt = {}, {}
         n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
@@ -453,10 +458,7 @@ class Experiment:
             out = eval_fn(state, batch)
             name = meta.scene_names[0]
             n_vox = meta.num_voxels[0]
-            vox_logits = np.asarray(out["pred_masks_vox"][-1][:n_vox])
-            logits = np.asarray(out["pred_logits"][-1][0])
-            p = eval_scene_predictions(
-                logits, vox_logits,
+            common = dict(
                 inverse_map=meta.inverse_maps[0],
                 point2segment_full=meta.original_segments[0],
                 eval_on_segments=bool(cfg.general.eval_on_segments),
@@ -466,12 +468,29 @@ class Experiment:
                 scores_threshold=float(cfg.general.scores_threshold),
                 separate_instances=bool(cfg.general.separate_instances),
                 segment_connectivity=meta.segment_connectivity[0],
-                # reference DBSCAN query splitting (trainer/trainer.py:507-539)
-                use_dbscan=bool(cfg.general.get("use_dbscan", False)),
-                vox_coords=np.asarray(batch.raw_coords[:n_vox]),
-                dbscan_eps=float(cfg.general.get("dbscan_eps", 0.95)),
-                dbscan_min_points=int(cfg.general.get("dbscan_min_points", 1)),
             )
+            if use_dbscan:
+                vox_logits = np.asarray(out["pred_masks_vox"][-1][:n_vox])
+                logits = np.asarray(out["pred_logits"][-1][0])
+                p = eval_scene_predictions(
+                    logits, vox_logits,
+                    # reference DBSCAN query splitting (trainer.py:507-539)
+                    use_dbscan=True,
+                    vox_coords=np.asarray(batch.raw_coords[:n_vox]),
+                    dbscan_eps=float(cfg.general.get("dbscan_eps", 0.95)),
+                    dbscan_min_points=int(cfg.general.get("dbscan_min_points", 1)),
+                    **common,
+                )
+            else:
+                from unscene3d_tpu.eval.postprocess import (
+                    eval_scene_predictions_packed)
+
+                p = eval_scene_predictions_packed(
+                    np.asarray(out["probs"]),
+                    np.asarray(out["mask_scores"]),
+                    np.asarray(out["packed"]), n_vox,
+                    **common,
+                )
             # classes: head index 1 == 'foreground' (valid class id 1)
             preds[name] = {"masks": p["masks"], "classes": p["classes"],
                            "scores": p["scores"]}
