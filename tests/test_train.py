@@ -115,3 +115,19 @@ def test_epoch_ids_deterministic_draw():
     assert sorted(ids) == list(range(10))
     ids2 = [i for _ in range(5) for i in s.next(2)]
     assert sorted(ids2) == list(range(10))
+
+
+def test_prefetcher_propagates_worker_failure():
+    import pytest
+
+    from unscene3d_tpu.train.experiment import Prefetcher
+
+    def make(i):
+        if i == 3:
+            raise ValueError("boom")
+        return {"i": i}
+
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        list(Prefetcher(make, 8, to_device=False, num_workers=3))
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        list(Prefetcher(make, 8, to_device=False, num_workers=1))

@@ -105,6 +105,13 @@ def build_loggers(cfg) -> MultiLogger:
     return MultiLogger(loggers)
 
 
+class _PrefetchError:
+    """Sentinel carrying a worker exception to the consuming thread."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class Prefetcher:
     """Multi-worker thread prefetch of collated batches (the role of the
     reference's DataLoader worker processes, conf/data/indoor.yaml:24).
@@ -135,7 +142,11 @@ class Prefetcher:
         if num_workers == 1:
             def worker():
                 for i in range(num_batches):
-                    self.q.put(to_dev(make_batch_fn(i)))
+                    try:
+                        self.q.put(to_dev(make_batch_fn(i)))
+                    except BaseException as e:
+                        self.q.put(_PrefetchError(e))
+                        return
 
             self.threads = [threading.Thread(target=worker, daemon=True)]
         else:
@@ -147,26 +158,38 @@ class Prefetcher:
             max_pending = max(depth, num_workers) + 1
             needed = [0]  # next index the emitter will consume
 
+            failure = []
+
             def worker():
                 while True:
                     with draw_lock:
                         i = next(next_i, None)
                     if i is None:
                         return
-                    batch = make_batch_fn(i)
+                    try:
+                        batch = make_batch_fn(i)
+                    except BaseException as e:  # propagate to the consumer
+                        with done_cv:
+                            failure.append(e)
+                            done_cv.notify_all()
+                        return
                     with done_cv:
                         # backpressure, but NEVER block the batch the
                         # emitter is waiting on (that would deadlock when
                         # fast workers fill the buffer past a slow one)
                         done_cv.wait_for(
-                            lambda: len(done) < max_pending or i == needed[0])
+                            lambda: len(done) < max_pending or i == needed[0]
+                            or failure)
                         done[i] = batch
                         done_cv.notify_all()
 
             def emitter():
                 for i in range(num_batches):
                     with done_cv:
-                        done_cv.wait_for(lambda: i in done)
+                        done_cv.wait_for(lambda: i in done or failure)
+                        if failure:
+                            self.q.put(_PrefetchError(failure[0]))
+                            return
                         batch = done.pop(i)
                         needed[0] = i + 1
                         done_cv.notify_all()
@@ -180,7 +203,10 @@ class Prefetcher:
 
     def __iter__(self):
         for _ in range(self.n):
-            yield self.q.get()
+            item = self.q.get()
+            if isinstance(item, _PrefetchError):
+                raise RuntimeError("prefetch worker failed") from item.exc
+            yield item
 
 
 class _EpochSampler:
