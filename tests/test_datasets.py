@@ -89,3 +89,35 @@ def test_self_train_merge(tmp_path):
                          self_train_data_dir=str(st_dir))
     k1 = ds[0]["masks"].shape[1]
     assert k1 == k0 + 1  # only the novel mask added
+
+
+def test_make_crops_quadrants():
+    """Quadrant splitting (reference datasets/utils.py:616-668): anchors keep
+    every quadrant non-empty, crops recentred, masks/labels row-subset."""
+    import numpy as np
+
+    from unscene3d_tpu.data.collate import FreeMaskCollator, make_crops
+
+    rng = np.random.RandomState(0)
+    n = 400
+    scene = dict(
+        xyz=rng.randn(n, 3).astype(np.float32) * 2,
+        features=rng.rand(n, 3).astype(np.float32),
+        segments=rng.randint(0, 20, n),
+        masks=rng.rand(n, 3) > 0.7,
+        labels=rng.randint(0, 2, n),
+        name="s0",
+    )
+    crops = make_crops([scene])
+    assert len(crops) == 4
+    total = sum(len(c["xyz"]) for c in crops)
+    assert total == n + 4          # the four anchor points
+    for c in crops:
+        assert abs(c["xyz"][:, :2].mean()) < 1.0
+        assert len(c["features"]) == len(c["xyz"]) == len(c["masks"])
+
+    # collator flag wires through end-to-end
+    col = FreeMaskCollator(voxel_size=0.05, small_crops=True)
+    col.small_crops = True
+    batch, meta = col([dict(scene, mode="train")])
+    assert batch.batch_size == 4

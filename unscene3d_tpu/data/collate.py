@@ -48,6 +48,55 @@ def _relabel(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return inv.astype(np.int32), uniq
 
 
+def make_crops(scenes: list[dict]) -> list[dict]:
+    """Quadrant-split every scene into four XY crops (reference
+    datasets/utils.py:616-668, incl. its four anchor points that guarantee a
+    point per quadrant, appended with zero features / ignore labels / empty
+    masks). Each crop is recentred like the reference."""
+    out = []
+    for s in scenes:
+        xyz = np.asarray(s["xyz"], np.float32).copy()
+        xyz[:, :3] -= xyz[:, :3].mean(0)
+        anchors = np.asarray([[0.1, 0.1, 0.1], [0.1, -0.1, 0.1],
+                              [-0.1, 0.1, 0.1], [-0.1, -0.1, 0.1]], np.float32)
+        xyz = np.vstack([xyz, anchors])
+
+        def pad_rows(key, fill):
+            v = s.get(key)
+            if v is None:
+                return None
+            v = np.asarray(v)
+            extra_shape = (4,) + v.shape[1:]
+            return np.concatenate([v, np.full(extra_shape, fill, v.dtype)], 0)
+
+        feats = pad_rows("features", 0)
+        segs = pad_rows("segments", 0)
+        masks = pad_rows("masks", False)
+        labels = pad_rows("labels", 255)
+        colors = pad_rows("colors", 0)
+        for sx, sy in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+            crop = (sx * xyz[:, 0] > 0) & (sy * xyz[:, 1] > 0)
+            if crop.sum() <= 1:
+                continue
+            c_xyz = xyz[crop].copy()
+            c_xyz[:, :3] -= c_xyz[:, :3].mean(0)
+            cs = dict(s)
+            cs["xyz"] = c_xyz
+            if feats is not None:
+                cs["features"] = feats[crop]
+            if segs is not None:
+                cs["segments"] = segs[crop]
+            if masks is not None:
+                cs["masks"] = masks[crop]
+            if labels is not None:
+                cs["labels"] = labels[crop]
+            if colors is not None:
+                cs["colors"] = colors[crop]
+            cs["name"] = f"{s.get('name', 'scene')}_crop{sx}{sy}"
+            out.append(cs)
+    return out
+
+
 class FreeMaskCollator:
     """Collate a list of scene dicts into (SceneBatch, CollateMeta).
 
@@ -62,7 +111,9 @@ class FreeMaskCollator:
                  build_triplane: bool = False,
                  brick_levels: tuple = (),
                  fine_buckets: bool = False,
-                 csr_levels: tuple = ()):
+                 csr_levels: tuple = (),
+                 small_crops: bool = False,
+                 very_small_crops: bool = False):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
@@ -80,12 +131,20 @@ class FreeMaskCollator:
         # levels whose k3 convs use the CSR pair tables + Pallas
         # segment-combine kernel (ops/csr_conv.py)
         self.csr_levels = tuple(csr_levels)
+        # reference VoxelizeCollate small_crops / very_small_crops
+        # (datasets/utils.py:37-45): quadrant-split scenes once or twice
+        self.small_crops = bool(small_crops)
+        self.very_small_crops = bool(very_small_crops)
 
     def __call__(self, scenes: list[dict], pads: dict | None = None
                  ) -> tuple[SceneBatch, CollateMeta]:
         """pads: optional explicit pad plan (from `pad_plan`) so that several
         shards collated independently share identical static shapes -- required
         for stacking shards on a data-parallel mesh axis."""
+        if self.small_crops or self.very_small_crops:
+            scenes = make_crops(scenes)
+        if self.very_small_crops:
+            scenes = make_crops(scenes)
         B = len(scenes)
         per_scene = []
         meta = CollateMeta([], [], [], [], [], [], [], [], [])
