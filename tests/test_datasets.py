@@ -121,3 +121,37 @@ def test_make_crops_quadrants():
     col.small_crops = True
     batch, meta = col([dict(scene, mode="train")])
     assert batch.batch_size == 4
+
+
+def test_merge_collator_modes():
+    """Mix3D-style merge collator (reference datasets/utils.py:48-179)."""
+    import numpy as np
+
+    from unscene3d_tpu.data.collate import MergeCollator
+
+    rng = np.random.RandomState(1)
+
+    def scene(name, n=200, k=2):
+        return dict(xyz=rng.rand(n, 3).astype(np.float32) * 2,
+                    features=rng.rand(n, 3).astype(np.float32),
+                    segments=rng.randint(0, 8, n),
+                    masks=rng.rand(n, k) > 0.6,
+                    labels=rng.randint(0, 2, n), name=name)
+
+    scenes = [scene("a"), scene("b"), scene("c"), scene("d")]
+    col = MergeCollator(voxel_size=0.05, scenes=2, place_nearby=True)
+    batch, meta = col(scenes)
+    assert batch.batch_size == 2                      # 4 scenes -> 2 merged
+    assert meta.scene_names[0] == "a+b"
+
+    # one_pc_noise: each pair yields two scenes with half-ignored labels
+    col2 = MergeCollator(voxel_size=0.05, make_one_pc_noise=True)
+    merged = []
+    orig_call = MergeCollator.__mro__[1].__call__
+    batch2, meta2 = col2(scenes[:2])
+    assert batch2.batch_size == 2
+    # block-diagonal masks: total instance count is the sum
+    m = MergeCollator._merge_group(scenes[:2], False, False)
+    assert m["masks"].shape[1] == 4
+    assert m["masks"][:200, 2:].sum() == 0            # block-diagonal
+    assert m["segments"].max() >= 8                   # offsets applied

@@ -330,3 +330,105 @@ class FreeMaskCollator:
             batches.append(b)
             metas.append(m)
         return batches, metas
+
+
+class MergeCollator(FreeMaskCollator):
+    """VoxelizeCollateMerge equivalent (reference datasets/utils.py:48-179):
+    Mix3D-style merging of groups of `scenes` scene dicts into single point
+    clouds before voxelization. Options mirror the reference:
+
+    - place_nearby: abut the second scene along +x; place_far: random
+      +-2000-unit offset (for 2-scene groups).
+    - make_one_pc_noise: each pair yields TWO merged scenes, labels valid
+      for one half and ignore_label for the other (reference :147-176).
+    - small/very_small_crops compose via the inherited flags.
+    Masks concatenate block-diagonally; segment ids are offset per scene so
+    they stay unique (reference :120-124)."""
+
+    def __init__(self, *args, scenes: int = 2, make_one_pc_noise: bool = False,
+                 place_nearby: bool = False, place_far: bool = False,
+                 proba: float = 1.0, ignore_label: int = 255, **kw):
+        super().__init__(*args, **kw)
+        self.scenes = int(scenes)
+        self.make_one_pc_noise = bool(make_one_pc_noise)
+        self.place_nearby = bool(place_nearby)
+        self.place_far = bool(place_far)
+        self.proba = float(proba)
+        self.ignore_label = int(ignore_label)
+
+    @staticmethod
+    def _merge_group(group, place_nearby, place_far):
+        xyz = [np.asarray(s["xyz"], np.float32).copy() for s in group]
+        if len(group) == 2 and place_nearby:
+            xyz[1][:, 0] += xyz[0][:, 0].max() - xyz[1][:, 0].min()
+        elif len(group) == 2 and place_far:
+            xyz[1] += np.random.uniform(-10, 10, 3).astype(np.float32) * 200
+
+        def cat(key, default=None):
+            vals = [s.get(key) for s in group]
+            if any(v is None for v in vals):
+                return default
+            return np.concatenate([np.asarray(v) for v in vals], axis=0)
+
+        seg_off, segs = 0, []
+        for s in group:
+            sg = np.asarray(s["segments"])
+            segs.append(sg + seg_off)
+            seg_off += int(sg.max()) + 1
+        masks_list = [s.get("masks") for s in group]
+        masks = None
+        if all(m is not None for m in masks_list):
+            tot = sum(len(s["xyz"]) for s in group)
+            k_tot = sum(np.asarray(m).shape[1] for m in masks_list)
+            masks = np.zeros((tot, k_tot), bool)
+            r0 = k0 = 0
+            for m in masks_list:
+                m = np.asarray(m)
+                masks[r0:r0 + m.shape[0], k0:k0 + m.shape[1]] = m
+                r0 += m.shape[0]
+                k0 += m.shape[1]
+        out = dict(group[0])
+        out["xyz"] = np.vstack(xyz)
+        out["features"] = cat("features")
+        out["segments"] = np.concatenate(segs)
+        if masks is not None:
+            out["masks"] = masks
+        labels = cat("labels")
+        if labels is not None:
+            out["labels"] = labels
+        out["name"] = "+".join(str(s.get("name", f"s{i}"))
+                               for i, s in enumerate(group))
+        out.pop("segment_connectivity", None)
+        return out
+
+    def __call__(self, scenes_in: list[dict], pads: dict | None = None):
+        import random as pyrandom
+
+        scenes = list(scenes_in)
+        if self.make_one_pc_noise:
+            merged = []
+            for i in range(0, len(scenes), 2):
+                if i + 1 < len(scenes):
+                    pair = scenes[i:i + 2]
+                    na, nb = len(pair[0]["xyz"]), len(pair[1]["xyz"])
+                    for valid_first in (True, False):
+                        m = self._merge_group(pair, False, False)
+                        lab = np.asarray(
+                            m.get("labels", np.zeros(na + nb, np.int64))).copy()
+                        if valid_first:
+                            lab[na:] = self.ignore_label
+                        else:
+                            lab[:na] = self.ignore_label
+                        m["labels"] = lab
+                        merged.append(m)
+                else:
+                    merged.append(scenes[i])
+            return super().__call__(merged, pads)
+        if self.proba > pyrandom.random():
+            merged = [self._merge_group(scenes[i:i + self.scenes],
+                                        self.place_nearby, self.place_far)
+                      for i in range(0, len(scenes), self.scenes)]
+            return super().__call__(merged, pads)
+        return super().__call__(scenes, pads)
+
+
