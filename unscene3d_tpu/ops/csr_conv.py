@@ -147,12 +147,17 @@ def build_csr_graph(nbr_idx: np.ndarray, n_pad: int,
     )
 
 
-def _kernel(starts_ref, *refs, relu: bool, out_dtype, has_res: bool):
-    # grid = (O, 2): 13 offsets per step. One step per offset (grid (O, 26))
-    # is step-overhead-bound (~0.8us x 20.8k steps); all 26 in one step
-    # overflows Mosaic's scoped VMEM. The out block and f32 scratch
-    # accumulator stay resident across the 2 steps of one out tile.
-    R = 13
+def _kernel(starts_ref, *refs, relu: bool, out_dtype, has_res: bool,
+            r_per_step: int, n_steps: int):
+    # grid = (O, n_steps): r_per_step offsets per step (13 default). One step
+    # per offset (grid (O, 26)) is step-overhead-bound (~0.8us x 20.8k
+    # steps); all 26 in one step overflows Mosaic's scoped VMEM -- as do 13
+    # at training widths (f32, 192ch concat inputs), where the caller lowers
+    # r_per_step from a scoped-VMEM estimate. The out block and f32 scratch
+    # accumulator stay resident across a tile's steps. Steps beyond offset
+    # 25 read the dummy tail (FAR out rows + zero input rows), contributing
+    # exactly zero through the one-hot filter.
+    R = r_per_step
     xga = refs[0:R]
     xgb = refs[R:2 * R]
     ora = refs[2 * R:3 * R]
@@ -182,7 +187,7 @@ def _kernel(starts_ref, *refs, relu: bool, out_dtype, has_res: bool):
     acc = acc_ref[:]
     for r in range(R):
         ki = gi * R + r
-        k = ki + (ki >= 13).astype(jnp.int32)  # index skips the center offset
+        k = jnp.minimum(ki + (ki >= 13).astype(jnp.int32), 26)
         chunk = jnp.concatenate([xga[r][:], xgb[r][:]], axis=0)   # (2T, Cin)
         orow2 = jnp.concatenate([ora[r][:], orb[r][:]], axis=0)   # (2T, 1)
         mt = (orow2 == row_ids).astype(chunk.dtype)               # (2T, T)
@@ -194,7 +199,7 @@ def _kernel(starts_ref, *refs, relu: bool, out_dtype, has_res: bool):
                        preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
-    @pl.when(gi == 1)
+    @pl.when(gi == n_steps - 1)
     def _():
         y = acc_ref[:] + bias_ref[0, :]
         if has_res:
@@ -225,16 +230,41 @@ def csr_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, csr: CsrGraph,
     xg = jnp.take(x, csr.in_rows, axis=0)            # the only gather
     valid_i8 = valid.astype(jnp.int8)[:, None]
 
+    # offsets per grid step: 13 when the chunk windows fit Mosaic's ~16MB
+    # scoped VMEM, fewer at wide-channel / f32 configurations (training's
+    # 192ch concat levels overflowed at R=13). Estimate the resident set:
+    # R chunk-pairs (2*TILE x cin) double-buffered + weights + x/out tiles.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    # conservative: Mosaic's scoped accounting exceeded this estimate by
+    # ~45% at the training widths that overflowed (19.6M actual vs 13.5M
+    # estimated), so budget well under the 16M limit
+    budget = 9 * 1024 * 1024
+    fixed = (27 * cin * cout + TILE * (cin + 2 * cout)) * itemsize \
+        + TILE * cout * 4
+    per_r = 2 * (2 * TILE * (cin * itemsize + 4))      # double-buffered
+    r_per_step = max(1, min(13, (budget - fixed) // max(per_r, 1)))
+    n_steps = -(-26 // r_per_step)                      # ceil
+    R = int(r_per_step)
+
+    # starts padded so steps beyond offset 25 read the all-dummy tail
+    starts = csr.starts
+    p_pad_rows = xg.shape[0]
+    extra = n_steps * R - 26
+    if extra > 0:
+        tail = jnp.full((starts.shape[0], extra), p_pad_rows - 2 * TILE,
+                        starts.dtype)
+        starts = jnp.concatenate([starts, tail], axis=1)
+
     def chunk_spec(r, width, plus_one):
         def imap(o, gi, s, r=r, plus_one=plus_one):
-            return (s[o, gi * 13 + r] // TILE + plus_one, 0)
+            return (s[o, gi * R + r] // TILE + plus_one, 0)
         return pl.BlockSpec((TILE, width), imap, memory_space=pltpu.VMEM)
 
     in_specs = (
-        [chunk_spec(r, cin, 0) for r in range(13)]
-        + [chunk_spec(r, cin, 1) for r in range(13)]
-        + [chunk_spec(r, 1, 0) for r in range(13)]
-        + [chunk_spec(r, 1, 1) for r in range(13)]
+        [chunk_spec(r, cin, 0) for r in range(R)]
+        + [chunk_spec(r, cin, 1) for r in range(R)]
+        + [chunk_spec(r, 1, 0) for r in range(R)]
+        + [chunk_spec(r, 1, 1) for r in range(R)]
         + [pl.BlockSpec((TILE, cin), lambda o, gi, s: (o, 0),
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((TILE, 1), lambda o, gi, s: (o, 0),
@@ -242,7 +272,7 @@ def csr_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, csr: CsrGraph,
            pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM)]
     )
-    args = ([xg] * 26 + [csr.out_rows] * 26
+    args = ([xg] * (2 * R) + [csr.out_rows] * (2 * R)
             + [x, valid_i8, w.astype(x.dtype),
                bias.astype(jnp.float32).reshape(1, cout)])
     has_res = residual is not None
@@ -253,20 +283,21 @@ def csr_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, csr: CsrGraph,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(o_tiles, 2),
+        grid=(o_tiles, n_steps),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE, cout), lambda o, gi, s: (o, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE, cout), jnp.float32)],
     )
     kernel = functools.partial(_kernel, relu=relu, out_dtype=x.dtype,
-                               has_res=has_res)
+                               has_res=has_res, r_per_step=R,
+                               n_steps=n_steps)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, cout), x.dtype),
         interpret=interpret,
-    )(csr.starts, *args)
+    )(starts, *args)
 
 
 def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:

@@ -309,13 +309,22 @@ class Experiment:
             # ~15% headroom over the probe max so unsampled batches still fit
             from unscene3d_tpu.ops.sparse_graph import bucket_size
 
-            def grow(v):
-                return bucket_size(int(v * 1.15) + 1) if v else 0
+            def grow(v, align=128):
+                return bucket_size(int(v * 1.15) + 1, align=align) if v else 0
 
+            # CSR levels need 256-aligned voxel padding (kernel out tiles)
+            # and the plan must carry the per-offset pair buckets, else every
+            # batch re-derives its own bucket sizes and recompiles
+            csr_levels = getattr(self.collator, "csr_levels", ())
             self._master_pads = dict(
-                levels=[grow(v) for v in merged["levels"]],
+                levels=[grow(v, align=256 if li in csr_levels else 128)
+                        for li, v in enumerate(merged["levels"])],
                 bricks=[(bucket_size(int(v * 1.15) + 1, align=8, min_size=8)
                          if v else 0) for v in merged["bricks"]],
+                csr_pb=[([grow(b, align=256) for b in v]
+                         if isinstance(v, (list, tuple)) else 0)
+                        for v in merged.get("csr_pb",
+                                            [0] * len(merged["levels"]))],
                 scene_n=[grow(v) for v in merged["scene_n"]],
                 s_max=grow(merged["s_max"]),
                 t_max=grow(merged["t_max"]),
