@@ -101,16 +101,12 @@ def main():
             csr, n_scenes, backbone_only = (0,), 2, False
         elif variant == "nocsr":
             csr, n_scenes, backbone_only = (), 1, False
-        elif variant == "fused":
+        elif variant in ("fused", "fused012"):
             from unscene3d_tpu.ops import conv_ops
 
             conv_ops.set_default_k3_impl("fused")
-            csr, n_scenes, backbone_only = (0,), 1, False
-        elif variant == "fused012":
-            from unscene3d_tpu.ops import conv_ops
-
-            conv_ops.set_default_k3_impl("fused")
-            csr, n_scenes, backbone_only = (0, 1, 2), 1, False
+            csr = (0,) if variant == "fused" else (0, 1, 2)
+            n_scenes, backbone_only = 1, False
         else:
             print(f"unknown variant {variant}", file=sys.stderr)
             continue
@@ -128,6 +124,10 @@ def main():
         else:
             fn = rep_model(model, variables, batch)
             dt = timeit(fn, variables, batch, k=K)
+        if variant.startswith("fused"):
+            from unscene3d_tpu.ops import conv_ops
+
+            conv_ops.set_default_k3_impl("scan")   # don't leak into later variants
         per_scene = dt / n_scenes
         results[variant] = per_scene
         print(f"[{variant}] {dt*1e3:.1f}ms/fwd, {per_scene*1e3:.1f}ms/scene "

@@ -46,7 +46,11 @@ def build_experiment(cfg):
     test_ds = instantiate(cfg.data.datasets.test_dataset)
     collator = instantiate(cfg.data.collation_functions.train_collation,
                            build_triplane=criterion.weight_noise_robust != 0.0)
-    return Experiment(cfg, model, criterion, train_ds, val_ds, test_ds, collator)
+    eval_collator = instantiate(
+        cfg.data.collation_functions.validation_collation,
+        build_triplane=criterion.weight_noise_robust != 0.0)
+    return Experiment(cfg, model, criterion, train_ds, val_ds, test_ds,
+                      collator, eval_collator=eval_collator)
 
 
 def train(cfg):

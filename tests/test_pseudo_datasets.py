@@ -284,10 +284,11 @@ def test_inf_sampler_and_loader(tmp_path):
     assert [len(b) for b in batches] == [3, 3, 1]
     assert sorted(x["i"] for b in batches for x in b) == list(range(7))
 
-    # sampler pops from the permutation's tail (reference dataloader.py:32-36)
+    # non-shuffle streams ascending (the reference's non-shuffle path is
+    # broken upstream: dataloader.py:26 calls .tolist() on an int)
     rep = PseudoDataLoader(_DS(), batch_size=2, repeat=True, shuffle=False)
     it = iter(rep)
-    assert [x["i"] for x in next(it)] == [6, 5]
+    assert [x["i"] for x in next(it)] == [0, 1]
 
 
 def test_initialize_data_loader_end_to_end(tmp_path):

@@ -415,11 +415,17 @@ class MergeCollator(FreeMaskCollator):
                         m = self._merge_group(pair, False, False)
                         lab = np.asarray(
                             m.get("labels", np.zeros(na + nb, np.int64))).copy()
-                        if valid_first:
-                            lab[na:] = self.ignore_label
-                        else:
-                            lab[:na] = self.ignore_label
+                        ignored = slice(na, None) if valid_first else slice(0, na)
+                        lab[ignored] = self.ignore_label
                         m["labels"] = lab
+                        # freemask supervision comes from the mask matrix,
+                        # so the "noise" half must lose its masks too (the
+                        # reference ignores that half's labels,
+                        # datasets/utils.py:147-176)
+                        if m.get("masks") is not None:
+                            masks = np.asarray(m["masks"]).copy()
+                            masks[ignored] = False
+                            m["masks"] = masks
                         merged.append(m)
                 else:
                     merged.append(scenes[i])

@@ -213,7 +213,12 @@ class ScanNetFreeDataset(ScanNetPseudoDataset):
             base = os.path.join(self.masks_path, scene_name)
             cloud = np.load(f"{base}_cloud.npy")
             coords = cloud[:, :3].astype(np.float32)
-            colors = cloud[:, 3:6].astype(np.float64)
+            # both exporters (ours and the reference, whose rgb concat is
+            # commented out at trainer.py:755) save xyz-only clouds; fall
+            # back to zero colors then
+            colors = (cloud[:, 3:6].astype(np.float64)
+                      if cloud.shape[1] >= 6 else
+                      np.zeros((len(coords), 3), np.float64))
             soft = np.load(f"{base}_masks.npy")
             if soft.ndim == 1:
                 soft = soft[:, None]
@@ -249,8 +254,13 @@ class ScanNetFreeDataset(ScanNetPseudoDataset):
             segment_ids = np.stack(segs, axis=-1)
         except FileNotFoundError:
             pass
+        colors = np.asarray(colors, np.float64)
+        if colors.size and colors.max() <= 1.5:
+            # insseg .pth files commonly store unit-scale colors
+            # (scannet_pseudo.py:167-168 defends the same way)
+            colors = colors * 255.0
         coords_v, feats, labels, instance_ids, poses, segment_ids, transforms = \
-            self.preparer(coords, np.asarray(colors, np.float64), labels,
+            self.preparer(coords, colors, labels,
                           instance_ids, None, segment_ids)
         return dict(scene_name=scene_name, coords=coords_v, feats=feats,
                     labels=labels, instance_ids=instance_ids,
@@ -359,6 +369,9 @@ class ARKitPseudoDataset:
                                      self.seg_threshold, int(min_verts))
             seg_list.append(seg)
             conn_list.append(conn)
+            # NOTE: only the LAST threshold's validity filters vertices —
+            # replicating the reference verbatim (arkit.py:118-127 overwrites
+            # valid_seg_indices each loop iteration the same way)
             valid = self.clean_segments(seg, min_vert_num=int(min_verts))
         segment_ids = np.stack(seg_list, axis=-1)
 
@@ -489,10 +502,6 @@ class StanfordPseudoDataset:
                     transform=np.asarray(transforms[1], np.float32))
 
 
-class Stanford5cmPseudoDataset(StanfordPseudoDataset):
-    VOXEL_SIZE = 0.05
-
-
 # ---------------------------------------------------------------------------
 # sampler + loader factory
 # ---------------------------------------------------------------------------
@@ -509,8 +518,10 @@ class InfSampler:
         self._reset()
 
     def _reset(self):
-        self._perm = list(self._rng.permutation(self.n) if self.shuffle
-                          else range(self.n))
+        # pop() draws from the tail (reference dataloader.py:32-36), so the
+        # non-shuffle order is stored reversed to stream ascending
+        self._perm = (list(self._rng.permutation(self.n)) if self.shuffle
+                      else list(range(self.n - 1, -1, -1)))
 
     def __iter__(self):
         return self
@@ -583,7 +594,8 @@ DATASETS = {
     "ARKitPseudoDataset": ARKitPseudoDataset,
     "ARKit_2cmDataset": ARKitPseudoDataset,
     "StanfordPseudoDataset": StanfordPseudoDataset,
-    "Stanford5cmPseudoDataset": Stanford5cmPseudoDataset,
+    # the reference's 5cm variant IS the base config (s3dis.py VOXEL_SIZE)
+    "Stanford5cmPseudoDataset": StanfordPseudoDataset,
 }
 
 

@@ -60,7 +60,10 @@ class ChromaticAutoContrast:
             lo = feats[:, :3].min(0, keepdims=True)
             hi = feats[:, :3].max(0, keepdims=True)
             if hi.max() <= 1:
-                raise ValueError("colors must be [0-255] scale")
+                # the reference asserts here (utils/transforms.py:55); skip
+                # instead so colorless meshes (ARKit fallback) don't kill an
+                # epoch mid-training
+                return coords, feats, indexes
             scale = 255 / ((hi - lo) + 1.0)
             contrast = (feats[:, :3] - lo) * scale
             blend = random.random() if self.randomize_blend_factor else self.blend_factor

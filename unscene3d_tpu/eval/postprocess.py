@@ -12,18 +12,24 @@ from __future__ import annotations
 import numpy as np
 
 
+def _topk_query_classes(cls_probs: np.ndarray, topk_per_image: int):
+    """Flattened stable top-k over the (Q, C-1) class-score grid (reference
+    trainer.py:456-477). Returns (class scores, class ids, query ids)."""
+    num_queries, num_classes = cls_probs.shape
+    k = num_queries if topk_per_image == -1 else topk_per_image
+    flat = cls_probs.reshape(-1)
+    topk_indices = np.argsort(-flat, kind="stable")[:k]
+    return (flat[topk_indices], topk_indices % num_classes,
+            topk_indices // num_classes)
+
+
 def get_mask_and_scores(cls_probs: np.ndarray, mask_pred: np.ndarray,
                         topk_per_image: int = -1):
     """cls_probs: (Q, C-1) softmax scores without the no-object column.
     mask_pred: (N, Q) mask logits. Returns (scores, binary masks (N,K),
     classes (K,), heatmap (N,K))."""
-    num_queries, num_classes = cls_probs.shape
-    k = num_queries if topk_per_image == -1 else topk_per_image
-    flat = cls_probs.reshape(-1)
-    topk_indices = np.argsort(-flat, kind="stable")[:k]
-    scores_per_query = flat[topk_indices]
-    labels_per_query = topk_indices % num_classes
-    query_idx = topk_indices // num_classes
+    scores_per_query, labels_per_query, query_idx = _topk_query_classes(
+        cls_probs, topk_per_image)
 
     mask_pred = mask_pred[:, query_idx]
     result_pred_mask = (mask_pred > 0).astype(np.float32)
@@ -209,15 +215,10 @@ def eval_scene_predictions_packed(
     and the (N, Q) float transfer stay on device; the host unpacks bits and
     runs the tiny topk + filtering."""
     cls = np.asarray(probs, np.float64)[:, :-1]
-    num_queries, num_classes = cls.shape
-    k = num_queries if topk_per_image == -1 else topk_per_image
-    flat = cls.reshape(-1)
-    topk_indices = np.argsort(-flat, kind="stable")[:k]
-    scores = flat[topk_indices] * np.asarray(mask_scores, np.float64)[
-        topk_indices // num_classes]
-    classes = topk_indices % num_classes
+    cls_scores, classes, query_idx = _topk_query_classes(cls, topk_per_image)
+    scores = cls_scores * np.asarray(mask_scores, np.float64)[query_idx]
     binary = np.unpackbits(np.asarray(packed_masks), axis=0)[:n_vox]
-    masks = binary[:, topk_indices // num_classes].astype(np.float32)
+    masks = binary[:, query_idx].astype(np.float32)
     return _postprocess_tail(
         scores, masks, classes, inverse_map, point2segment_full,
         eval_on_segments, filter_instances, iou_threshold, scores_threshold,

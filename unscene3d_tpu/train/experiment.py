@@ -235,7 +235,8 @@ class _EpochSampler:
 class Experiment:
     def __init__(self, cfg, model, criterion: SetCriterion,
                  train_dataset, validation_dataset, test_dataset,
-                 collator: FreeMaskCollator):
+                 collator: FreeMaskCollator,
+                 eval_collator: FreeMaskCollator | None = None):
         self.cfg = cfg
         self.model = model
         self.criterion = criterion
@@ -243,6 +244,20 @@ class Experiment:
         self.validation_dataset = validation_dataset
         self.test_dataset = test_dataset
         self.collator = collator
+        # eval must collate whole single scenes: train-side crop/merge
+        # augmentation (small_crops, MergeCollator) would score crop 0
+        # against full-scene GT
+        if eval_collator is None and (
+                getattr(collator, "small_crops", False)
+                or getattr(collator, "very_small_crops", False)
+                or type(collator).__name__ == "MergeCollator"):
+            eval_collator = FreeMaskCollator(
+                voxel_size=collator.voxel_size,
+                num_levels=collator.num_levels,
+                build_triplane=collator.build_triplane,
+                fine_buckets=collator.fine_buckets,
+                csr_levels=collator.csr_levels)
+        self.eval_collator = eval_collator or collator
         self.save_dir = cfg.general.save_dir
         self.logger = build_loggers(cfg)
 
@@ -489,7 +504,7 @@ class Experiment:
         n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
         for i in range(n):
             scene = dataset[i]
-            batch, meta = self.collator([scene])
+            batch, meta = self.eval_collator([scene])
             out = eval_fn(state, batch)
             name = meta.scene_names[0]
             n_vox = meta.num_voxels[0]
