@@ -52,7 +52,8 @@ def _sample_level(batch, hlevel, sample_size, max_sample_size, is_eval, rng):
 
 
 def _attend_level(layers, queries, query_pos, block_mask, batch, fpn_feats,
-                  pe_level, sel_flat, sel_valid, level_embed, dtype):
+                  pe_level, sel_flat, sel_valid, level_embed, dtype,
+                  deterministic=True):
     """One masked cross-attn + self-attn + FFN step (ref :334-373)."""
     cross, self_attn, ffn, squeeze = layers
     batched_aux = jnp.take(fpn_feats, sel_flat, axis=0)
@@ -69,29 +70,9 @@ def _attend_level(layers, queries, query_pos, block_mask, batch, fpn_feats,
         src = src + level_embed
     attn_block = jnp.swapaxes(blocked, 1, 2)
     q = cross(queries, src, block_mask=attn_block, pos=batched_pe,
-              query_pos=query_pos)
-    q = self_attn(q, query_pos=query_pos)
-    return ffn(q)
-
-
-def _seg_and_vox_logits(mask_embed, mask_segments, batch, attn_target_level):
-    """Segment + voxel mask logits and the pooled attention block-mask
-    (ref mask_module :407-446). mask_embed: (B, Q, D)."""
-    B = batch.batch_size
-    S = batch.num_segments_padded
-    seg_logits = jnp.einsum("bsd,bqd->bsq", mask_segments, mask_embed)
-    seg_logits = seg_logits * batch.seg_valid[..., None].astype(seg_logits.dtype)
-    seg_flat = batch.batch_idx * S + batch.point2segment
-    vox_logits = jnp.take(
-        seg_logits.reshape(B * S, -1), seg_flat, axis=0
-    ) * batch.valid[:, None].astype(seg_logits.dtype)
-    block_mask = None
-    if attn_target_level is not None:
-        pooled = vox_logits
-        for lv in range(1, attn_target_level + 1):
-            pooled = conv_ops.avg_pool2(pooled, batch.graph.levels[lv])
-        block_mask = jax.nn.sigmoid(jax.lax.stop_gradient(pooled)) < 0.5
-    return seg_logits, vox_logits, block_mask
+              query_pos=query_pos, deterministic=deterministic)
+    q = self_attn(q, query_pos=query_pos, deterministic=deterministic)
+    return ffn(q, deterministic=deterministic)
 
 
 def per_scene_min_max(x, batch_idx, valid, num_scenes):
@@ -136,7 +117,6 @@ class Mask3D(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        assert self.dropout == 0.0, "dropout>0 not implemented (reference runs 0.0)"
         D = self.hidden_dim
         self.pos_enc = PositionEmbeddingCoordsSine(
             d_pos=D, gauss_scale=self.gauss_scale, normalize=self.normalize_pos_enc,
@@ -172,19 +152,19 @@ class Mask3D(nn.Module):
         n_sets = 1 if self.shared_decoder else self.num_decoders
         self.cross_attention = [
             [CrossAttentionLayer(D, self.num_heads, pre_norm=self.pre_norm,
-                                 dtype=self.dtype,
+                                 dropout=self.dropout, dtype=self.dtype,
                                  name=f"cross_{d}_{i}") for i in range(len(self.hlevels))]
             for d in range(n_sets)
         ]
         self.self_attention = [
             [SelfAttentionLayer(D, self.num_heads, pre_norm=self.pre_norm,
-                                dtype=self.dtype,
+                                dropout=self.dropout, dtype=self.dtype,
                                 name=f"self_{d}_{i}") for i in range(len(self.hlevels))]
             for d in range(n_sets)
         ]
         self.ffn = [
             [FFNLayer(D, self.dim_feedforward, pre_norm=self.pre_norm,
-                      dtype=self.dtype,
+                      dropout=self.dropout, dtype=self.dtype,
                       name=f"ffn_{d}_{i}") for i in range(len(self.hlevels))]
             for d in range(n_sets)
         ]
@@ -348,7 +328,7 @@ class Mask3D(nn.Module):
                     layers, q, query_pos, block_mask, batch, fpn[hlevel],
                     pe_by_level[glevel], sel_flat, sel_valid,
                     mdl.level_embed[i] if mdl.use_level_embed else None,
-                    mdl.dtype)
+                    mdl.dtype, deterministic=not train)
             return q, preds_c, preds_s, preds_v
 
         if self.shared_decoder and self.scan_decoder:
@@ -366,7 +346,8 @@ class Mask3D(nn.Module):
             scanned = nn.scan(
                 round_body,
                 variable_broadcast="params",
-                split_rngs={"params": False, "sample": True},
+                split_rngs={"params": False, "sample": True,
+                            "dropout": True},
                 in_axes=0, out_axes=0,
                 length=self.num_decoders + 1,
             )

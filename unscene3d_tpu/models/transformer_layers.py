@@ -1,7 +1,10 @@
 """Transformer layers for the mask decoder (reference models/mask3d.py:491-652).
 
-Post-norm variants (the reference runs pre_norm=false, conf/model/mask3d.yaml)
-with dropout elided (reference dropout: 0.0).
+Post-norm variants (the reference runs pre_norm=false, conf/model/mask3d.yaml).
+Dropout mirrors the reference's placement (attention weights, residual
+branches, FFN hidden activations); the reference default is 0.0
+(conf/model/mask3d.yaml), so `deterministic=True` / rate 0 is the common path
+and adds no ops.
 """
 
 from __future__ import annotations
@@ -15,10 +18,11 @@ import jax.numpy as jnp
 class MultiheadAttention(nn.Module):
     d_model: int
     num_heads: int
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, block_mask=None):
+    def __call__(self, q, k, v, block_mask=None, deterministic: bool = True):
         """q: (B, Q, D), k/v: (B, P, D), block_mask: (B, Q, P) True = do NOT attend."""
         d_head = self.d_model // self.num_heads
         dense = lambda name: nn.DenseGeneral(
@@ -34,6 +38,9 @@ class MultiheadAttention(nn.Module):
             neg = jnp.asarray(jnp.finfo(jnp.float32).min / 2, logits.dtype)
             logits = jnp.where(block_mask[:, None, :, :], neg, logits)
         attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.dropout > 0.0:
+            # torch nn.MultiheadAttention drops attention weights
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqp,bphd->bqhd", attn, vh)
         return nn.DenseGeneral(
             self.d_model, axis=(-2, -1), dtype=self.dtype, name="out_proj"
@@ -44,17 +51,22 @@ class CrossAttentionLayer(nn.Module):
     d_model: int
     num_heads: int
     pre_norm: bool = False
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, block_mask=None, pos=None, query_pos=None):
+    def __call__(self, tgt, memory, block_mask=None, pos=None, query_pos=None,
+                 deterministic: bool = True):
         norm = nn.LayerNorm(dtype=self.dtype)
         src = norm(tgt) if self.pre_norm else tgt
         q = src if query_pos is None else src + query_pos
         k = memory if pos is None else memory + pos
-        tgt2 = MultiheadAttention(self.d_model, self.num_heads, dtype=self.dtype)(
-            q, k, memory, block_mask
+        tgt2 = MultiheadAttention(self.d_model, self.num_heads,
+                                  dropout=self.dropout, dtype=self.dtype)(
+            q, k, memory, block_mask, deterministic=deterministic
         )
+        if self.dropout > 0.0:
+            tgt2 = nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         if self.pre_norm:
             return tgt + tgt2
         return norm(tgt + tgt2)
@@ -64,16 +76,20 @@ class SelfAttentionLayer(nn.Module):
     d_model: int
     num_heads: int
     pre_norm: bool = False
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, query_pos=None):
+    def __call__(self, tgt, query_pos=None, deterministic: bool = True):
         norm = nn.LayerNorm(dtype=self.dtype)
         src = norm(tgt) if self.pre_norm else tgt
         q = src if query_pos is None else src + query_pos
-        tgt2 = MultiheadAttention(self.d_model, self.num_heads, dtype=self.dtype)(
-            q, q, src
+        tgt2 = MultiheadAttention(self.d_model, self.num_heads,
+                                  dropout=self.dropout, dtype=self.dtype)(
+            q, q, src, deterministic=deterministic
         )
+        if self.dropout > 0.0:
+            tgt2 = nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         if self.pre_norm:
             return tgt + tgt2
         return norm(tgt + tgt2)
@@ -83,15 +99,20 @@ class FFNLayer(nn.Module):
     d_model: int
     dim_feedforward: int = 1024
     pre_norm: bool = False
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt):
+    def __call__(self, tgt, deterministic: bool = True):
         norm = nn.LayerNorm(dtype=self.dtype)
         src = norm(tgt) if self.pre_norm else tgt
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
         h = nn.relu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.pre_norm:
             return tgt + h
         return norm(tgt + h)

@@ -98,6 +98,10 @@ def build_loggers(cfg) -> MultiLogger:
     loggers = []
     for e in entries:
         kind = str(e.get("name", "csv")).lower()
+        if kind in ("wandb", "neptune", "tensorboard"):
+            print(f"[logging] no {kind} client in this environment: "
+                  f"'{kind}' logger entries write to the offline JSONL "
+                  f"stream instead", flush=True)
         loggers.append(_LOGGER_KINDS.get(kind, CSVLogger)(
             str(e.get("save_dir", cfg.general.save_dir))))
     if not loggers:

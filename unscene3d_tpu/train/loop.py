@@ -126,7 +126,7 @@ class Trainer:
             batch,
             train=True,
             return_aux_vox=self.criterion.weight_noise_robust != 0.0,
-            rngs={"sample": rng},
+            rngs={"sample": rng, "dropout": jax.random.fold_in(rng, 7)},
             mutable=["batch_stats"],
         )
         losses = self.criterion(outputs, batch, triplane=batch.triplane)
