@@ -58,12 +58,13 @@ def main():
     scene = make_scene(num_points=250_000, num_objects=12, extent=8.0, seed=0)
     K = args.k
 
-    def build(csr_levels, n_scenes=1):
+    def build(csr_levels, n_scenes=1, win_levels=()):
         scenes = [scene if i == 0 else
                   make_scene(num_points=250_000, num_objects=12, extent=8.0,
                              seed=i) for i in range(n_scenes)]
         batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True,
-                                       csr_levels=csr_levels)(scenes)
+                                       csr_levels=csr_levels,
+                                       win_levels=win_levels)(scenes)
         batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), batch)
         return batch, meta
 
@@ -89,7 +90,12 @@ def main():
 
     results = {}
     for variant in args.variants:
-        if variant == "base":
+        win = ()
+        if variant == "win":
+            csr, win, n_scenes, backbone_only = (), (0, 1, 2, 3, 4), 1, False
+        elif variant == "winbb":
+            csr, win, n_scenes, backbone_only = (), (0, 1, 2, 3, 4), 1, True
+        elif variant == "base":
             csr, n_scenes, backbone_only = (0,), 1, False
         elif variant == "backbone":
             csr, n_scenes, backbone_only = (0,), 1, True
@@ -110,7 +116,7 @@ def main():
         else:
             print(f"unknown variant {variant}", file=sys.stderr)
             continue
-        batch, meta = build(csr, n_scenes)
+        batch, meta = build(csr, n_scenes, win_levels=win)
         variables = init_on_cpu(
             model.init,
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},

@@ -1,0 +1,133 @@
+"""Windowed-select conv: table builder + XLA reference path + custom VJP.
+
+The Pallas kernel itself needs a real TPU (benchmarks/proto_window_conv.py
+drives it there); these tests pin the table construction and the CPU/XLA
+equivalent against the gather-conv oracle, including spill handling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unscene3d_tpu.data.collate import FreeMaskCollator
+from unscene3d_tpu.data.synthetic import make_scene
+from unscene3d_tpu.ops import conv_ops
+from unscene3d_tpu.ops.window_conv import build_win_graph, window_conv3, window_conv3_fwd
+
+
+@pytest.fixture(scope="module")
+def level_pair():
+    scene = make_scene(num_points=12_000, num_objects=4, extent=3.0, seed=3)
+    batch, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    # rebuild the same level with win tables (w_sub small to force spill)
+    batch_w, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1))([scene])
+    return batch.graph.levels[0], batch_w.graph.levels[0]
+
+
+def test_tables_reconstruct_neighbors(level_pair):
+    level, level_w = level_pair
+    wg = level_w.win
+    assert wg is not None
+    n_pad = level.num_padded
+    nbr = np.asarray(level.nbr_idx)
+    lidx = np.asarray(wg.lidx)
+    starts = np.asarray(wg.starts)
+    r0 = np.asarray(wg.r0)
+    tile_of = np.arange(n_pad) // 256
+    recon = {}
+    ks = [k for k in range(27) if k != 13]
+    for ki, k in enumerate(ks):
+        li = lidx[:, ki].astype(np.int64)
+        rows = r0[tile_of] + starts[tile_of, ki] + li
+        got = np.where(li >= 0, rows, n_pad - 1)
+        recon[k] = got
+    # spilled pairs fill in the rest
+    sp = {}
+    for o, i, k in zip(np.asarray(wg.spill_out), np.asarray(wg.spill_in),
+                       np.asarray(wg.spill_k)):
+        if o != n_pad - 1:
+            sp[(int(k), int(o))] = int(i)
+    for ki, k in enumerate(ks):
+        expect = nbr[k]
+        got = recon[k].copy()
+        for o in range(n_pad):
+            if (k, o) in sp:
+                got[o] = sp[(k, o)]
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_window_conv_matches_gather(level_pair):
+    level, level_w = level_pair
+    rng = np.random.RandomState(0)
+    n_pad = level.num_padded
+    cin, cout = 24, 16
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * level.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+    ref = conv_ops.sparse_conv3(x, w, level, impl="scan")
+    got = window_conv3(x, w, level_w.win, level_w.valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_conv_spill_forced():
+    """A tiny w_union forces heavy spilling; result must still be exact."""
+    scene = make_scene(num_points=8_000, num_objects=3, extent=3.0, seed=5)
+    batch, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    level = batch.graph.levels[0]
+    n_pad = level.num_padded
+    wg = build_win_graph(np.asarray(level.nbr_idx), n_pad,
+                         w_sub=min(512, n_pad), w_union=min(512, n_pad))
+    assert int(wg.num_spill_padded) > 0
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(n_pad, 8), jnp.float32)
+    x = x * level.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, 8, 8) * 0.1, jnp.float32)
+    ref = conv_ops.sparse_conv3(x, w, level, impl="scan")
+    got = window_conv3(x, w, wg, level.valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_conv_epilogue(level_pair):
+    level, level_w = level_pair
+    rng = np.random.RandomState(2)
+    n_pad = level.num_padded
+    cin = cout = 8
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * level.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+    shift = jnp.asarray(rng.randn(cout), jnp.float32)
+    res = jnp.asarray(rng.randn(n_pad, cout), jnp.float32)
+    raw = conv_ops.sparse_conv3(x, w, level, impl="scan").astype(jnp.float32)
+    want = jnp.maximum(raw * scale + shift + res, 0.0)
+    want = want * level.valid[:, None].astype(jnp.float32)
+    got = window_conv3_fwd(x, w, level_w.win, level_w.valid,
+                           scale=scale, shift=shift, residual=res, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_conv_vjp(level_pair):
+    level, level_w = level_pair
+    rng = np.random.RandomState(4)
+    n_pad = level.num_padded
+    cin = cout = 6
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * level.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+
+    def f_win(x, w):
+        return (window_conv3(x, w, level_w.win, level_w.valid) ** 2).sum()
+
+    def f_ref(x, w):
+        return (conv_ops.sparse_conv3(x, w, level, impl="scan") ** 2).sum()
+
+    gx_w, gw_w = jax.grad(f_win, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)

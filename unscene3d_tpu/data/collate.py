@@ -112,6 +112,7 @@ class FreeMaskCollator:
                  brick_levels: tuple = (),
                  fine_buckets: bool = False,
                  csr_levels: tuple = (),
+                 win_levels: tuple = (),
                  small_crops: bool = False,
                  very_small_crops: bool = False):
         self.voxel_size = voxel_size
@@ -131,6 +132,9 @@ class FreeMaskCollator:
         # levels whose k3 convs use the CSR pair tables + Pallas
         # segment-combine kernel (ops/csr_conv.py)
         self.csr_levels = tuple(csr_levels)
+        # levels whose k3 convs use the windowed-select Pallas kernel
+        # (ops/window_conv.py) -- no HBM row gathers; round-3 eval default
+        self.win_levels = tuple(win_levels)
         # reference VoxelizeCollate small_crops / very_small_crops
         # (datasets/utils.py:37-45): quadrant-split scenes once or twice
         self.small_crops = bool(small_crops)
@@ -188,6 +192,8 @@ class FreeMaskCollator:
             fine_buckets=self.fine_buckets,
             csr_levels=self.csr_levels,
             csr_pbs=pads.get("csr_pb") if pads else None,
+            win_levels=self.win_levels,
+            win_spills=pads.get("win_spill") if pads else None,
         )
         n0_pad = graph.levels[0].num_padded
 
@@ -291,6 +297,8 @@ class FreeMaskCollator:
                     for l in batch.graph.levels],
             csr_pb=[(list(l.csr.pb) if l.csr is not None else 0)
                     for l in batch.graph.levels],
+            win_spill=[(l.win.num_spill_padded if l.win is not None else 0)
+                       for l in batch.graph.levels],
             scene_n=[si.shape[1] for si in batch.scene_idx],
             s_max=batch.seg_valid.shape[1],
             t_max=(batch.target.labels.shape[1] if batch.target is not None else 0),
@@ -305,6 +313,8 @@ class FreeMaskCollator:
             bricks=[max(p["bricks"][i] for p in plans) for i in range(len(plans[0]["bricks"]))],
             csr_pb=[_merge_csr_pb([p.get("csr_pb", [0] * 5)[i] for p in plans])
                     for i in range(len(plans[0]["levels"]))],
+            win_spill=[max(p.get("win_spill", [0] * 5)[i] for p in plans)
+                       for i in range(len(plans[0]["levels"]))],
             scene_n=[max(p["scene_n"][i] for p in plans) for i in range(len(plans[0]["scene_n"]))],
             s_max=max(p["s_max"] for p in plans),
             t_max=max(p["t_max"] for p in plans),

@@ -38,6 +38,17 @@ class Res16UNetBase(nn.Module):
         return x
 
     def _conv_bn_relu(self, x, level, out_ch, kind, name, train, other=None):
+        if not train:
+            # inference: fold BN into the conv epilogue (fuses into the
+            # window kernel at win levels, one XLA pass otherwise)
+            sc, sh = SparseBatchNorm(self.bn_momentum, dtype=self.dtype,
+                                     name=f"{name}_bn")(None, None, False,
+                                                        fold=True,
+                                                        features=out_ch)
+            return SparseConv(out_ch, kind, dtype=self.dtype,
+                              name=f"{name}_conv")(x, level, other,
+                                                   scale=sc, shift=sh,
+                                                   relu=True)
         x = SparseConv(out_ch, kind, dtype=self.dtype, name=f"{name}_conv")(
             x, level, other)
         x = SparseBatchNorm(self.bn_momentum, dtype=self.dtype, name=f"{name}_bn")(

@@ -51,21 +51,20 @@ def _sample_level(batch, hlevel, sample_size, max_sample_size, is_eval, rng):
             jnp.take_along_axis(scene_valid, sel_cols, axis=1))
 
 
-def _attend_level(layers, queries, query_pos, block_mask, batch, fpn_feats,
-                  pe_level, sel_flat, sel_valid, level_embed, dtype,
-                  deterministic=True):
-    """One masked cross-attn + self-attn + FFN step (ref :334-373)."""
-    cross, self_attn, ffn, squeeze = layers
-    batched_aux = jnp.take(fpn_feats, sel_flat, axis=0)
-    batched_pe = jnp.take(pe_level, sel_flat, axis=0)
-    blocked = jnp.take(block_mask, sel_flat, axis=0)  # (B, P, Q)
+def _attend_level(layers, queries, query_pos, blocked, sel_valid,
+                  src, batched_pe, level_embed, deterministic=True):
+    """One masked cross-attn + self-attn + FFN step (ref :334-373).
+
+    blocked: (B, P, Q) True = query does not attend to point; src/batched_pe:
+    (B, P, D) level features (already projected by lin_squeeze) and pos-enc in
+    the batched sampled layout."""
+    cross, self_attn, ffn = layers
 
     # un-mask queries that mask out every sampled point (ref :346)
     all_blocked = blocked.sum(axis=1) == blocked.shape[1]
     blocked = jnp.where(all_blocked[:, None, :], False, blocked)
     blocked = jnp.logical_or(blocked, ~sel_valid[..., None])
 
-    src = squeeze(batched_aux.astype(dtype))
     if level_embed is not None:
         src = src + level_embed
     attn_block = jnp.swapaxes(blocked, 1, 2)
@@ -178,11 +177,14 @@ class Mask3D(nn.Module):
             return segment_mean(x, seg_flat, num_segments, valid)
         return segment_max(x, seg_flat, num_segments, valid)
 
-    def _mask_module(self, queries, mask_segments, batch, attn_target_level):
-        """Returns (class logits (B,Q,C), segment mask logits (B,S,Q),
-        voxel mask logits (N0,Q), pooled block-mask at attn_target_level or None)."""
-        B = batch.batch_size
-        S = batch.num_segments_padded
+    def _mask_module(self, queries, mask_segments, batch):
+        """Returns (class logits (B,Q,C), segment mask logits (B,S,Q), the
+        mask embedding (B,Q,D)). Voxel logits / pooled attention masks are
+        derived from these by the caller: both are LINEAR in the mask
+        features, so the per-level average-pool chain of (N,Q) logits the
+        reference runs per decoder step (models/mask3d.py:429-436) is
+        computed as (pooled D-dim features, once per forward) x (this mask
+        embedding) -- exactly the same numbers, ~10x less pooling traffic."""
         q = self.decoder_norm(queries)
         me = q
         for li, layer in enumerate(self.mask_embed_head):
@@ -192,19 +194,16 @@ class Mask3D(nn.Module):
         outputs_class = self.class_embed_head(q)
         seg_logits = jnp.einsum("bsd,bqd->bsq", mask_segments, me)
         seg_logits = seg_logits * batch.seg_valid[..., None].astype(seg_logits.dtype)
-        # broadcast segment logits to voxels
+        return outputs_class, seg_logits, me
+
+    def _vox_from_seg(self, seg_logits, batch):
+        """Broadcast segment mask logits to voxels (ref :415-419)."""
+        B = batch.batch_size
+        S = batch.num_segments_padded
         seg_flat = batch.batch_idx * S + batch.point2segment
-        vox_logits = jnp.take(
+        return jnp.take(
             seg_logits.reshape(B * S, -1), seg_flat, axis=0
         ) * batch.valid[:, None].astype(seg_logits.dtype)
-
-        block_mask = None
-        if attn_target_level is not None:
-            pooled = vox_logits
-            for lv in range(1, attn_target_level + 1):
-                pooled = conv_ops.avg_pool2(pooled, batch.graph.levels[lv])
-            block_mask = jax.nn.sigmoid(jax.lax.stop_gradient(pooled)) < 0.5  # (N_g, Q)
-        return outputs_class, seg_logits, vox_logits, block_mask
 
     def __call__(self, batch: SceneBatch, train: bool = False, is_eval: bool = False,
                  return_aux_vox: bool = False, debug_stage: str | None = None):
@@ -303,32 +302,71 @@ class Mask3D(nn.Module):
             return {"pred_logits": (queries.sum() + query_pos.sum()
                                     + mask_segments.sum())[None, None, None, None]}
 
+        # ---- pooled mask features per graph level, once per forward: the
+        # attention block-mask at level g is a linear readout of these (see
+        # _mask_module docstring)
+        vox_feats = jnp.take(mask_segments.reshape(B * S, D), seg_flat, axis=0)
+        vox_feats = vox_feats * L0.valid[:, None].astype(vox_feats.dtype)
+        pooled_feats = [vox_feats]
+        for lv in range(1, 5):
+            pooled_feats.append(
+                conv_ops.avg_pool2(pooled_feats[-1], batch.graph.levels[lv])
+            )
+
+        # ---- eval path: sampling is the identity, so the per-level attention
+        # inputs (projected src, pos-enc, pooled mask feats) are the same in
+        # every decoder round -- compute them once outside the rounds
+        cached_levels = None
+        if (is_eval or self.max_sample_size) and self.shared_decoder:
+            cached_levels = []
+            for i, hlevel in enumerate(self.hlevels):
+                glevel = 4 - hlevel
+                sel_flat_c = batch.scene_idx[glevel]
+                sel_valid_c = batch.scene_valid[glevel]
+                src_c = self.lin_squeeze[0][i](
+                    jnp.take(fpn[hlevel], sel_flat_c, axis=0).astype(self.dtype))
+                pe_c = jnp.take(pe_by_level[glevel], sel_flat_c, axis=0)
+                pooled_c = jnp.take(pooled_feats[glevel], sel_flat_c, axis=0)
+                cached_levels.append((src_c, pe_c, pooled_c, sel_valid_c))
+
         def run_round(mdl, q_in, dd, collect_vox):
             preds_c, preds_s, preds_v = [], [], []
             q = q_in
             for i, hlevel in enumerate(mdl.hlevels):
                 glevel = 4 - hlevel  # graph level of aux[hlevel]
-                out_class, seg_logits, vox_logits, block_mask = mdl._mask_module(
-                    q, mask_segments, batch, attn_target_level=glevel
-                )
+                out_class, seg_logits, me = mdl._mask_module(
+                    q, mask_segments, batch)
                 preds_c.append(out_class)
                 preds_s.append(seg_logits)
                 if collect_vox:
-                    preds_v.append(vox_logits)
-                needs_rng = not (mdl.max_sample_size or is_eval
-                                 or batch.scene_idx[glevel].shape[1]
-                                 <= mdl.sample_sizes[hlevel])
-                rng = mdl.make_rng("sample") if needs_rng else None
-                sel_flat, sel_valid = _sample_level(
-                    batch, hlevel, mdl.sample_sizes[hlevel],
-                    mdl.max_sample_size, is_eval, rng)
+                    preds_v.append(mdl._vox_from_seg(seg_logits, batch))
+                if cached_levels is not None:
+                    src_i, pe_i, pooled_i, sel_valid = cached_levels[i]
+                else:
+                    needs_rng = not (mdl.max_sample_size or is_eval
+                                     or batch.scene_idx[glevel].shape[1]
+                                     <= mdl.sample_sizes[hlevel])
+                    rng = mdl.make_rng("sample") if needs_rng else None
+                    sel_flat, sel_valid = _sample_level(
+                        batch, hlevel, mdl.sample_sizes[hlevel],
+                        mdl.max_sample_size, is_eval, rng)
+                    src_i = mdl.lin_squeeze[dd][i](
+                        jnp.take(fpn[hlevel], sel_flat, axis=0).astype(mdl.dtype))
+                    pe_i = jnp.take(pe_by_level[glevel], sel_flat, axis=0)
+                    pooled_i = jnp.take(pooled_feats[glevel], sel_flat, axis=0)
+                # pooled block logits (ref :429-436): linear readout of the
+                # pooled mask features with this round's mask embedding
+                blk = jnp.einsum(
+                    "bpd,bqd->bpq",
+                    jax.lax.stop_gradient(pooled_i),
+                    jax.lax.stop_gradient(me).astype(pooled_i.dtype))
+                blocked = jax.nn.sigmoid(blk) < 0.5
                 layers = (mdl.cross_attention[dd][i], mdl.self_attention[dd][i],
-                          mdl.ffn[dd][i], mdl.lin_squeeze[dd][i])
+                          mdl.ffn[dd][i])
                 q = _attend_level(
-                    layers, q, query_pos, block_mask, batch, fpn[hlevel],
-                    pe_by_level[glevel], sel_flat, sel_valid,
+                    layers, q, query_pos, blocked, sel_valid, src_i, pe_i,
                     mdl.level_embed[i] if mdl.use_level_embed else None,
-                    mdl.dtype, deterministic=not train)
+                    deterministic=not train)
             return q, preds_c, preds_s, preds_v
 
         if self.shared_decoder and self.scan_decoder:
@@ -384,12 +422,12 @@ class Mask3D(nn.Module):
                 predictions_seg.extend(ps)
                 predictions_vox.extend(pv)
 
-            out_class, seg_logits, vox_logits, _ = self._mask_module(
-                queries, mask_segments, batch, attn_target_level=None
+            out_class, seg_logits, _me = self._mask_module(
+                queries, mask_segments, batch
             )
             predictions_class.append(out_class)
             predictions_seg.append(seg_logits)
-            predictions_vox.append(vox_logits)
+            predictions_vox.append(self._vox_from_seg(seg_logits, batch))
 
         return {
             "pred_logits": jnp.stack(predictions_class),  # (L, B, Q, C)

@@ -169,6 +169,14 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
 
     from unscene3d_tpu.ops import csr_conv as _csr
 
+    if level.win is not None:
+        from unscene3d_tpu.ops.window_conv import window_conv3
+
+        out = window_conv3(x, w.astype(x.dtype), level.win, level.valid)
+        if bias is not None:
+            out = (out + bias) * level.valid[:, None].astype(out.dtype)
+        return out.astype(x.dtype)
+
     if level.csr is not None and not _csr.fallback_active():
         out = _csr.csr_conv3(x, w.astype(x.dtype), level.csr, level.valid)
         if bias is not None:

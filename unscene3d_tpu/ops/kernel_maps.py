@@ -175,6 +175,10 @@ def build_sparse_graph(
     fine_buckets: bool = False,
     csr_levels: tuple = (),
     csr_pbs: list | None = None,
+    win_levels: tuple = (),
+    win_spills: list | None = None,
+    win_w_sub: int = 512,
+    win_w_union: int = 4096,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
 
@@ -200,8 +204,9 @@ def build_sparse_graph(
     pads = [
         pad_sizes[li] if pad_sizes is not None
         else bucket_size(len(level_coords[li]) + 1, fine=fine_buckets,
-                         # the CSR kernel tiles out rows in blocks of 256
-                         align=256 if li in csr_levels else 128)
+                         # the CSR/window kernels tile out rows in 256 blocks
+                         align=256 if (li in csr_levels or li in win_levels)
+                         else 128)
         for li in range(num_levels)
     ]
     levels = []
@@ -243,6 +248,14 @@ def build_sparse_graph(
             lvl = lvl.replace(csr=build_csr_graph(
                 np.asarray(lvl.nbr_idx), pads[li],
                 pb=(csr_pbs[li] or None) if csr_pbs else None,
+            ))
+        if li in win_levels and pads[li] >= 2 * 256:
+            from unscene3d_tpu.ops.window_conv import build_win_graph
+
+            lvl = lvl.replace(win=build_win_graph(
+                np.asarray(lvl.nbr_idx), pads[li],
+                w_sub=min(win_w_sub, pads[li]), w_union=win_w_union,
+                spill_pad=(win_spills[li] or None) if win_spills else None,
             ))
         if build_down_nbr_maps and li > 0:
             d_idx, d_valid = build_down_neighbor_map(lc, level_coords[li - 1])

@@ -51,6 +51,11 @@ class LevelGraph:
     # optional CSR pair tables (ops/csr_conv.py): k3 convs gather only VALID
     # neighbor pairs and combine them with a Pallas segment-combine kernel
     csr: object = None
+    # optional window tables (ops/window_conv.py): k3 convs stream sliding
+    # index windows HBM->VMEM and select neighbor rows with one-hot MXU
+    # matmuls -- no HBM row gathers at all (the round-3 default for
+    # eval/bench; see docs/DESIGN.md)
+    win: object = None
     # optional kernel-size-3 STRIDE-2 map: for each voxel at THIS level, the
     # finer-level voxel at 2*coord + offset (27 offsets). Needed only by the
     # MinkUNet/ResNet families whose stage blocks stride with k3 convs

@@ -260,7 +260,8 @@ class Experiment:
                 num_levels=collator.num_levels,
                 build_triplane=collator.build_triplane,
                 fine_buckets=collator.fine_buckets,
-                csr_levels=collator.csr_levels)
+                csr_levels=collator.csr_levels,
+                win_levels=getattr(collator, "win_levels", ()))
         self.eval_collator = eval_collator or collator
         self.save_dir = cfg.general.save_dir
         self.logger = build_loggers(cfg)
@@ -335,11 +336,16 @@ class Experiment:
             # and the plan must carry the per-offset pair buckets, else every
             # batch re-derives its own bucket sizes and recompiles
             csr_levels = getattr(self.collator, "csr_levels", ())
+            win_levels = getattr(self.collator, "win_levels", ())
+            tiled = set(csr_levels) | set(win_levels)
             self._master_pads = dict(
-                levels=[grow(v, align=256 if li in csr_levels else 128)
+                levels=[grow(v, align=256 if li in tiled else 128)
                         for li, v in enumerate(merged["levels"])],
                 bricks=[(bucket_size(int(v * 1.15) + 1, align=8, min_size=8)
                          if v else 0) for v in merged["bricks"]],
+                win_spill=[(bucket_size(int(v * 1.5) + 8, align=8,
+                                        min_size=8) if v else 8)
+                           for v in merged.get("win_spill", [0] * 5)],
                 csr_pb=[([grow(b, align=256) for b in v]
                          if isinstance(v, (list, tuple)) else 0)
                         for v in merged.get("csr_pb",
