@@ -49,13 +49,17 @@ def main():
     n_pad = level.num_padded
     nbr = np.asarray(level.nbr_idx)
     t0 = time.perf_counter()
-    wg = build_win_graph(nbr, n_pad, w_sub=512, w_union=4096)
+    import os
+    w_sub = int(os.environ.get("W_SUB", 512))
+    w_union = int(os.environ.get("W_UNION", 4096))
+    cin_env = int(os.environ.get("CIN", 96))
+    wg = build_win_graph(nbr, n_pad, w_sub=w_sub, w_union=w_union)
     n_valid_pairs = int((nbr != (n_pad - 1)).sum()) - n_pad
     print(f"host build {time.perf_counter()-t0:.2f}s  "
           f"spill_pad={wg.num_spill_padded} "
           f"({100*wg.num_spill_padded/max(n_valid_pairs,1):.3f}% of pairs)")
 
-    cin = cout = 96
+    cin = cout = cin_env
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(n_pad, cin), jnp.bfloat16)
     x = x * jnp.asarray(np.asarray(level.valid))[:, None].astype(x.dtype)

@@ -25,6 +25,12 @@ def get_parameters(overrides):
     from unscene3d_tpu.config import load_config
     from unscene3d_tpu.utils.runtime import enable_compilation_cache
 
+    # multi-host runtime BEFORE any backend touch (SURVEY §2.4: replaces the
+    # Lightning per-rank launcher); no-op unless UNSCENE3D_COORDINATOR /
+    # UNSCENE3D_DISTRIBUTED request it
+    from unscene3d_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     enable_compilation_cache()
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -21,7 +21,12 @@ from pathlib import Path
 import numpy as np
 import yaml
 
-from unscene3d_tpu.data.augmentations import TrainAugmentation, normalize_color
+from unscene3d_tpu.data.augmentations import (
+    TrainAugmentation,
+    append_unlabeled_scene,
+    normalize_color,
+    oversample_instances,
+)
 from unscene3d_tpu.data.synthetic import make_scene
 
 COLOR_MEAN = (0.47793125906962, 0.4303257521323044, 0.3749598901421883)
@@ -46,6 +51,16 @@ class FreeMaskDataset:
         max_num_gt_instances: int = -1,
         augment: bool | None = None,
         seed: int = 0,
+        flip_in_center: bool = False,
+        point_per_cut: int = 0,
+        max_cut_region: float = 0.0,
+        resample_points: float = 0.0,
+        noise_rate: float = 0.0,
+        instance_oversampling: float = 0.0,
+        place_around_existing: bool = False,
+        add_unlabeled_pc: bool = False,
+        volume_augmentations_path: str | None = None,
+        image_augmentations_path: str | None = None,
     ):
         self.data_dir = data_dir
         self.mode = mode
@@ -61,7 +76,19 @@ class FreeMaskDataset:
         self.max_num_gt_instances = max_num_gt_instances
         self.augment = ("train" in mode) if augment is None else augment
         self.rng = np.random.RandomState(seed)
-        self.augmentation = TrainAugmentation()
+        self.instance_oversampling = float(instance_oversampling)
+        self.place_around_existing = bool(place_around_existing)
+        self.add_unlabeled_pc = bool(add_unlabeled_pc)
+        self.augmentation = TrainAugmentation(
+            flip_in_center=bool(flip_in_center),
+            point_per_cut=int(point_per_cut),
+            max_cut_region=float(max_cut_region),
+            resample_points=float(resample_points),
+            noise_rate=float(noise_rate),
+            ignore_label=int(ignore_label),
+            volume_augmentations_path=volume_augmentations_path,
+            image_augmentations_path=image_augmentations_path,
+        )
 
         db_path = os.path.join(data_dir, f"{self._db_mode()}_database.yaml")
         with open(db_path) as f:
@@ -119,14 +146,31 @@ class FreeMaskDataset:
             if entry.get("raw_filepath") else Path(point_path).stem,
         )
         if self.augment:
+            if self.instance_oversampling > 0:
+                scene = oversample_instances(
+                    scene, self.data, self._load_points,
+                    self.instance_oversampling, self.place_around_existing,
+                    self.rng)
             scene = self.augmentation(scene, self.rng)
+            if self.add_unlabeled_pc and self.rng.rand() < 0.8:
+                scene = append_unlabeled_scene(
+                    scene, self.data, self._load_points, self.rng,
+                    self.ignore_label)
         else:
             scene["features"] = normalize_color(colors01, COLOR_MEAN, COLOR_STD)
         if self.add_normals:
-            scene["features"] = np.hstack([scene["features"], normals])
+            scene["features"] = np.hstack(
+                [scene["features"], np.asarray(scene["normals"])])
         if not self.add_colors:
             scene["features"] = np.ones_like(scene["features"])
         return scene
+
+    def _load_points(self, entry) -> np.ndarray:
+        point_path = entry["filepath"].replace("../../", "")
+        if not os.path.isabs(point_path):
+            point_path = os.path.join(self.data_dir, point_path) \
+                if not os.path.exists(point_path) else point_path
+        return np.load(point_path)
 
     def _merge_self_train(self, entry, points, masks):
         """Self-train mask merge (reference :224-265): add up to

@@ -34,6 +34,16 @@ class SemanticSegmentationDataset:
         task: str = "instance_segmentation",
         augment: bool | None = None,
         seed: int = 0,
+        flip_in_center: bool = False,
+        point_per_cut: int = 0,
+        max_cut_region: float = 0.0,
+        resample_points: float = 0.0,
+        noise_rate: float = 0.0,
+        instance_oversampling: float = 0.0,
+        place_around_existing: bool = False,
+        add_unlabeled_pc: bool = False,
+        volume_augmentations_path: str | None = None,
+        image_augmentations_path: str | None = None,
         **_,
     ):
         self.data_dir = data_dir
@@ -47,7 +57,19 @@ class SemanticSegmentationDataset:
         self.task = task
         self.augment = ("train" in mode) if augment is None else augment
         self.rng = np.random.RandomState(seed)
-        self.augmentation = TrainAugmentation()
+        self.instance_oversampling = float(instance_oversampling)
+        self.place_around_existing = bool(place_around_existing)
+        self.add_unlabeled_pc = bool(add_unlabeled_pc)
+        self.augmentation = TrainAugmentation(
+            flip_in_center=bool(flip_in_center),
+            point_per_cut=int(point_per_cut),
+            max_cut_region=float(max_cut_region),
+            resample_points=float(resample_points),
+            noise_rate=float(noise_rate),
+            ignore_label=int(ignore_label),
+            volume_augmentations_path=volume_augmentations_path,
+            image_augmentations_path=image_augmentations_path,
+        )
 
         db_mode = {"train": "train", "validation": "validation",
                    "test": "validation"}.get(mode, mode)
@@ -77,11 +99,25 @@ class SemanticSegmentationDataset:
             if entry.get("raw_filepath") else Path(path).stem,
         )
         if self.augment:
+            if self.instance_oversampling > 0:
+                from unscene3d_tpu.data.augmentations import oversample_instances
+
+                scene = oversample_instances(
+                    scene, self.data,
+                    lambda e: np.load(e["filepath"].replace("../../", "")),
+                    self.instance_oversampling, self.place_around_existing,
+                    self.rng)
             scene = self.augmentation(scene, self.rng)
-        else:
-            scene["features"] = normalize_color(colors01, COLOR_MEAN, COLOR_STD)
+            if self.add_unlabeled_pc and self.rng.rand() < 0.8:
+                from unscene3d_tpu.data.augmentations import append_unlabeled_scene
+
+                scene = append_unlabeled_scene(
+                    scene, self.data,
+                    lambda e: np.load(e["filepath"].replace("../../", "")),
+                    self.rng, self.ignore_label)
         if self.add_normals:
-            scene["features"] = np.hstack([scene["features"], normals])
+            scene["features"] = np.hstack(
+                [scene["features"], np.asarray(scene["normals"])])
         if not self.add_colors:
             scene["features"] = np.ones_like(scene["features"])
         return scene

@@ -26,12 +26,21 @@ _BUILD_FAILED = False
 
 def _build() -> bool:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES if os.path.exists(os.path.join(_DIR, s))]
+    # build to a per-pid temp then atomically rename: concurrent processes
+    # (multi-host launches, prefetch workers) must never dlopen a
+    # half-written .so
+    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _SO_PATH] + srcs
+           "-o", tmp] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -169,7 +169,10 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
 
     from unscene3d_tpu.ops import csr_conv as _csr
 
-    if level.win is not None:
+    # narrow inputs pad to the kernel's 128-lane DMA width, so the one-hot
+    # select costs as much as a 128-channel conv while a plain row gather is
+    # byte-cheap: route small-cin convs to the gather formulation
+    if level.win is not None and x.shape[1] >= 64:
         from unscene3d_tpu.ops.window_conv import window_conv3
 
         out = window_conv3(x, w.astype(x.dtype), level.win, level.valid)
