@@ -33,8 +33,8 @@ def _write_scannet_scene(scans, scene, n=300, seed=0):
     (d / f"{scene}_vh_clean_2.0.010000.segs.json").write_text(
         json.dumps({"segIndices": segs}))
     agg = {"segGroups": [
-        {"id": 0, "label": "chair", "segments": [0, 1]},
-        {"id": 1, "label": "table", "segments": [2, 3]},
+        {"id": 0, "objectId": 0, "label": "chair", "segments": [0, 1]},
+        {"id": 1, "objectId": 1, "label": "table", "segments": [2, 3]},
     ]}
     (d / f"{scene}.aggregation.json").write_text(json.dumps(agg))
     (d / f"{scene}.txt").write_text(

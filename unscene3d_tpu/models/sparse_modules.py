@@ -71,8 +71,7 @@ class SparseConv(nn.Module):
         fused = scale is not None or residual is not None or relu
         if self.kind == "k3":
             w = self.param("kernel", _conv_init, (27, cin, cout))
-            # cin threshold mirrors conv_ops.sparse_conv3's window routing
-            if fused and level.win is not None and cin >= 64:
+            if fused and level.win is not None:
                 from unscene3d_tpu.ops.window_conv import window_conv3_fwd
 
                 return window_conv3_fwd(

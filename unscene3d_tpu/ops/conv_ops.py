@@ -169,10 +169,11 @@ def sparse_conv3(x: jnp.ndarray, w: jnp.ndarray, level: LevelGraph,
 
     from unscene3d_tpu.ops import csr_conv as _csr
 
-    # narrow inputs pad to the kernel's 128-lane DMA width, so the one-hot
-    # select costs as much as a 128-channel conv while a plain row gather is
-    # byte-cheap: route small-cin convs to the gather formulation
-    if level.win is not None and x.shape[1] >= 64:
+    # NOTE: routing narrow-cin convs to the gather path was A/B'd and LOSES
+    # (bench 134ms vs 90ms): row gathers are ROW-bound (~0.3 Grows/s), so 27
+    # x N rows cost the same regardless of row width, while the window
+    # kernel's select cost is bounded by the 128-lane padding
+    if level.win is not None:
         from unscene3d_tpu.ops.window_conv import window_conv3
 
         out = window_conv3(x, w.astype(x.dtype), level.win, level.valid)

@@ -632,6 +632,17 @@ class Experiment:
             gt_masks = np.asarray(scene["masks"], bool)
             bg = boxes_from_masks(
                 coords, gt_masks, np.ones(gt_masks.shape[1], np.int64))
+        if bool(cfg.general.get("export", False)):
+            # ScanNet-benchmark submission format (reference
+            # trainer/trainer.py:168-187); consumable by the reference's own
+            # evaluation tooling (tests/test_artifact_roundtrip.py)
+            from unscene3d_tpu.eval.benchmark_export import export_predictions
+
+            export_predictions(
+                os.path.join(self.save_dir, "eval_output"), name,
+                p["masks"].astype(bool), p["classes"], p["scores"],
+                score_threshold=float(
+                    cfg.general.get("export_threshold", 0.0)))
         if save_for_freemask:
             out_dir = os.path.join(self.save_dir, "freemasks")
             os.makedirs(out_dir, exist_ok=True)
