@@ -131,3 +131,64 @@ def test_window_conv_vjp(level_pair):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
                                rtol=1e-3, atol=1e-3)
+
+
+# ------------------------------------------------- K-offset window tables
+def test_window_k2_down_up_pool():
+    """Windowed k2s2 down conv / transposed conv / avg-pool equal the gather
+    formulations (ops/window_gather.py)."""
+    scene = make_scene(num_points=15_000, num_objects=4, extent=3.0, seed=11)
+    b0, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    bw, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1, 2))([scene])
+    fine0, coarse0 = b0.graph.levels[0], b0.graph.levels[1]
+    finew, coarsew = bw.graph.levels[0], bw.graph.levels[1]
+    assert coarsew.win_down is not None and finew.win_up is not None
+
+    rng = np.random.RandomState(0)
+    cin, cout = 12, 10
+    xf = jnp.asarray(rng.randn(fine0.num_padded, cin), jnp.float32)
+    xf = xf * fine0.valid[:, None].astype(xf.dtype)
+    w2 = jnp.asarray(rng.randn(8, cin, cout) * 0.2, jnp.float32)
+
+    ref = conv_ops.sparse_conv_down2(xf, w2, coarse0)
+    got = conv_ops.sparse_conv_down2(xf, w2, coarsew)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    xc = jnp.asarray(rng.randn(coarse0.num_padded, cin), jnp.float32)
+    xc = xc * coarse0.valid[:, None].astype(xc.dtype)
+    ref = conv_ops.sparse_conv_up2(xc, w2, fine0)
+    got = conv_ops.sparse_conv_up2(xc, w2, finew)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    ref = conv_ops.avg_pool2(xf, coarse0)
+    got = conv_ops.avg_pool2(xf, coarsew)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_k2_down_vjp_matches():
+    scene = make_scene(num_points=9_000, num_objects=3, extent=3.0, seed=13)
+    b0, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    bw, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1))([scene])
+    fine0, coarse0 = b0.graph.levels[0], b0.graph.levels[1]
+    finew, coarsew = bw.graph.levels[0], bw.graph.levels[1]
+    rng = np.random.RandomState(1)
+    cin = cout = 6
+    xf = jnp.asarray(rng.randn(fine0.num_padded, cin), jnp.float32)
+    xf = xf * fine0.valid[:, None].astype(xf.dtype)
+    w2 = jnp.asarray(rng.randn(8, cin, cout) * 0.2, jnp.float32)
+
+    def f_w(x, w):
+        return (conv_ops.sparse_conv_down2(x, w, coarsew, fine=finew) ** 2).sum()
+
+    def f_r(x, w):
+        return (conv_ops.sparse_conv_down2(x, w, coarse0, fine=fine0) ** 2).sum()
+
+    gx_w, gw_w = jax.grad(f_w, argnums=(0, 1))(xf, w2)
+    gx_r, gw_r = jax.grad(f_r, argnums=(0, 1))(xf, w2)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)

@@ -194,6 +194,8 @@ class FreeMaskCollator:
             csr_pbs=pads.get("csr_pb") if pads else None,
             win_levels=self.win_levels,
             win_spills=pads.get("win_spill") if pads else None,
+            win_spills_down=pads.get("win_spill_down") if pads else None,
+            win_spills_up=pads.get("win_spill_up") if pads else None,
         )
         n0_pad = graph.levels[0].num_padded
 
@@ -299,6 +301,12 @@ class FreeMaskCollator:
                     for l in batch.graph.levels],
             win_spill=[(l.win.num_spill_padded if l.win is not None else 0)
                        for l in batch.graph.levels],
+            win_spill_down=[(l.win_down.num_spill_padded
+                             if l.win_down is not None else 0)
+                            for l in batch.graph.levels],
+            win_spill_up=[(l.win_up.num_spill_padded
+                           if l.win_up is not None else 0)
+                          for l in batch.graph.levels],
             scene_n=[si.shape[1] for si in batch.scene_idx],
             s_max=batch.seg_valid.shape[1],
             t_max=(batch.target.labels.shape[1] if batch.target is not None else 0),
@@ -315,6 +323,12 @@ class FreeMaskCollator:
                     for i in range(len(plans[0]["levels"]))],
             win_spill=[max(p.get("win_spill", [0] * 5)[i] for p in plans)
                        for i in range(len(plans[0]["levels"]))],
+            win_spill_down=[max(p.get("win_spill_down", [0] * 5)[i]
+                                for p in plans)
+                            for i in range(len(plans[0]["levels"]))],
+            win_spill_up=[max(p.get("win_spill_up", [0] * 5)[i]
+                              for p in plans)
+                          for i in range(len(plans[0]["levels"]))],
             scene_n=[max(p["scene_n"][i] for p in plans) for i in range(len(plans[0]["scene_n"]))],
             s_max=max(p["s_max"] for p in plans),
             t_max=max(p["t_max"] for p in plans),

@@ -115,6 +115,8 @@ class SemanticSegmentationDataset:
                     scene, self.data,
                     lambda e: np.load(e["filepath"].replace("../../", "")),
                     self.rng, self.ignore_label)
+        else:
+            scene["features"] = normalize_color(colors01, COLOR_MEAN, COLOR_STD)
         if self.add_normals:
             scene["features"] = np.hstack(
                 [scene["features"], np.asarray(scene["normals"])])

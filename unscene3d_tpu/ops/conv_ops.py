@@ -227,10 +227,23 @@ def _up_select(z_flat, fine, cout):
     return jnp.take(z_flat.reshape(-1, cout), flat_idx, axis=0)
 
 
-@jax.custom_vjp
-def _conv_down2(x, w, bias, coarse, fine):
+def _down2_primal(x, w, bias, coarse):
+    if coarse.win_down is not None:
+        from unscene3d_tpu.ops.window_gather import window_k_apply
+
+        out = window_k_apply(x, w.astype(x.dtype), coarse.win_down,
+                             coarse.valid, coarse.num_padded)
+        if bias is not None:
+            out = ((out.astype(jnp.float32) + bias)
+                   * coarse.valid[:, None].astype(jnp.float32)).astype(x.dtype)
+        return out
     return _scan_gather_gemm(x, w, coarse.child_idx, coarse.child_valid,
                              coarse.num_padded, bias, coarse.valid)
+
+
+@jax.custom_vjp
+def _conv_down2(x, w, bias, coarse, fine):
+    return _down2_primal(x, w, bias, coarse)
 
 
 def _conv_down2_fwd(x, w, bias, coarse, fine):
@@ -263,13 +276,20 @@ def sparse_conv_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
     fine LevelGraph to enable the scatter-free custom VJP (required for
     large-scene training)."""
     if fine is None:
-        return _scan_gather_gemm(x, w, coarse.child_idx, coarse.child_valid,
-                                 coarse.num_padded, bias, coarse.valid)
+        return _down2_primal(x, w, bias, coarse)
     return _conv_down2(x, w, bias, coarse, fine)
 
 
-@jax.custom_vjp
-def _conv_up2(x, w, bias, fine, coarse):
+def _up2_primal(x, w, bias, fine):
+    if fine.win_up is not None:
+        from unscene3d_tpu.ops.window_gather import window_k_apply
+
+        out = window_k_apply(x, w.astype(x.dtype), fine.win_up,
+                             fine.valid, fine.num_padded)
+        if bias is not None:
+            out = ((out.astype(jnp.float32) + bias)
+                   * fine.valid[:, None].astype(jnp.float32)).astype(x.dtype)
+        return out
     n_c, cin = x.shape
     cout = w.shape[-1]
     z = jnp.dot(x, w.transpose(1, 0, 2).reshape(cin, 8 * cout),
@@ -279,6 +299,11 @@ def _conv_up2(x, w, bias, fine, coarse):
         out = out + bias
     out = out * fine.valid[:, None].astype(out.dtype)
     return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _conv_up2(x, w, bias, fine, coarse):
+    return _up2_primal(x, w, bias, fine)
 
 
 def _conv_up2_fwd(x, w, bias, fine, coarse):
@@ -321,15 +346,7 @@ def sparse_conv_up2(x: jnp.ndarray, w: jnp.ndarray, fine: LevelGraph,
     models/res16unet.py:259-290). Pass the coarse LevelGraph for the
     scatter-free custom VJP."""
     if coarse is None:
-        n_c, cin = x.shape
-        cout = w.shape[-1]
-        z = jnp.dot(x, w.transpose(1, 0, 2).reshape(cin, 8 * cout),
-                    preferred_element_type=jnp.float32)
-        out = _up_select(z, fine, cout)
-        if bias is not None:
-            out = out + bias
-        out = out * fine.valid[:, None].astype(out.dtype)
-        return out.astype(x.dtype)
+        return _up2_primal(x, w, bias, fine)
     return _conv_up2(x, w, bias, fine, coarse)
 
 
@@ -356,11 +373,17 @@ def sparse_conv1_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
 
 def avg_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:
     """MinkowskiAvgPooling(kernel_size=2, stride=2): mean over valid children."""
-    g = _masked_gather(x, coarse.child_idx, coarse.child_valid)  # (8, Nc, C)
-    s = g.sum(axis=0)
     cnt = coarse.child_valid.sum(axis=0).astype(x.dtype)
+    if coarse.win_down is not None:
+        from unscene3d_tpu.ops.window_gather import window_k_apply
+
+        s = window_k_apply(x, None, coarse.win_down, coarse.valid,
+                           coarse.num_padded)
+    else:
+        g = _masked_gather(x, coarse.child_idx, coarse.child_valid)  # (8, Nc, C)
+        s = g.sum(axis=0)
     out = s / jnp.maximum(cnt, 1.0)[:, None]
-    return out * coarse.valid[:, None].astype(x.dtype)
+    return (out * coarse.valid[:, None].astype(x.dtype)).astype(x.dtype)
 
 
 def sum_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:

@@ -177,7 +177,9 @@ def build_sparse_graph(
     csr_pbs: list | None = None,
     win_levels: tuple = (),
     win_spills: list | None = None,
-    win_w_sub: int = 512,
+    win_spills_down: list | None = None,
+    win_spills_up: list | None = None,
+    win_w_sub: int = 384,
     win_w_union: int = 4096,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
@@ -251,12 +253,35 @@ def build_sparse_graph(
             ))
         if li in win_levels and pads[li] >= 2 * 256:
             from unscene3d_tpu.ops.window_conv import build_win_graph
+            from unscene3d_tpu.ops.window_gather import (
+                build_win_tables,
+                up_tables_from_parents,
+            )
 
             lvl = lvl.replace(win=build_win_graph(
                 np.asarray(lvl.nbr_idx), pads[li],
                 w_sub=min(win_w_sub, pads[li]), w_union=win_w_union,
                 spill_pad=(win_spills[li] or None) if win_spills else None,
             ))
+            if li > 0:
+                lvl = lvl.replace(win_down=build_win_tables(
+                    np.asarray(lvl.child_idx), pads[li], pads[li - 1],
+                    spill_pad=(win_spills_down[li] or None)
+                    if win_spills_down else None,
+                ))
+            if li < num_levels - 1:
+                nv = len(level_coords[li])
+                vmask = np.zeros(pads[li], bool)
+                vmask[:nv] = True
+                lvl = lvl.replace(win_up=build_win_tables(
+                    up_tables_from_parents(
+                        np.asarray(lvl.parent_idx),
+                        np.asarray(lvl.parent_offset), vmask,
+                        pads[li + 1]),
+                    pads[li], pads[li + 1],
+                    spill_pad=(win_spills_up[li] or None)
+                    if win_spills_up else None,
+                ))
         if build_down_nbr_maps and li > 0:
             d_idx, d_valid = build_down_neighbor_map(lc, level_coords[li - 1])
             fill = pads[li - 1] - 1

@@ -56,6 +56,12 @@ class LevelGraph:
     # matmuls -- no HBM row gathers at all (the round-3 default for
     # eval/bench; see docs/DESIGN.md)
     win: object = None
+    # optional K=8 window tables (ops/window_gather.py) for the k2s2 strided
+    # conv / AvgPooling (children in the finer level; lives on the COARSE
+    # level) and the k2s2 transposed conv (parents in the coarser level;
+    # lives on the FINE level)
+    win_down: object = None
+    win_up: object = None
     # optional kernel-size-3 STRIDE-2 map: for each voxel at THIS level, the
     # finer-level voxel at 2*coord + offset (27 offsets). Needed only by the
     # MinkUNet/ResNet families whose stage blocks stride with k3 convs

@@ -57,7 +57,7 @@ class WinGraph:
         return self.spill_out.shape[0]
 
 
-def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 512,
+def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
                     w_union: int = 4096, spill_pad: int | None = None
                     ) -> WinGraph:
     """Build window tables from a (27, n_pad) k3 neighbor map (missing ->

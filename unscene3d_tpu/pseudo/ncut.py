@@ -266,43 +266,68 @@ class BatchedNCut:
         scene_min = [np.asarray(s["coords"]).min(0) for s in scenes]
         scene_max = [np.asarray(s["coords"]).max(0) for s in scenes]
 
-        for _ in range(cfg.max_number_of_instances):
-            if not active.any():
-                break
-            vecs = np.asarray(ncut_eigenvectors(
-                fa_d, fb_d, jnp.asarray(painting),
-                invalid_d, tau=cfg.affinity_tau, eps=cfg.eps,
+        def host_step(b, s, vec_row):
+            """One scene's per-iteration set logic (flip / separation / IoU
+            gate / paint); mutates painting/results/foreground."""
+            ns = len(s["unique_segments"])
+            vec = vec_row[:ns]
+            uniq = np.asarray(s["unique_segments"])
+            bipartition = vec > vec.mean()
+
+            # flip when the partition covers too much of the scene (:454-459)
+            if bipartition.sum() / max(len(bipartition), 1) > cfg.max_extent_ratio:
+                bipartition = ~bipartition
+                vec = -vec
+
+            sep = _separate(bipartition, vec, uniq, s["connectivity"],
+                            cfg.separation_mode)
+            mask = np.isin(uniq, list(sep))
+            # paint current mask regardless of acceptance (:471-475,499)
+            painting[b, :ns] = np.clip(painting[b, :ns] + mask, 0, 1)
+
+            if len(sep) == 0:
+                return
+            iou = len(sep & foreground[b]) / len(sep)
+            if iou > 0.5 or len(sep) < cfg.min_segment_size:
+                return
+            accepted = sep - foreground[b]
+            results[b].append(np.isin(uniq, list(accepted)))
+            foreground[b] |= sep
+
+        # two half-batches pipelined: the device solves one half's
+        # eigenproblems while the host runs the other half's set logic (the
+        # per-iteration device fetch costs a full dev-tunnel round trip, and
+        # host separation is O(S) python -- serialized they dominated the
+        # pseudo half of bench.py)
+        halves = [np.arange(B)[: B // 2], np.arange(B)[B // 2:]]
+        halves = [h for h in halves if len(h)]
+
+        def solve(idx):
+            return ncut_eigenvectors(
+                fa_d[idx], fb_d[idx], jnp.asarray(painting[idx]),
+                invalid_d[idx], tau=cfg.affinity_tau, eps=cfg.eps,
                 multimodal=multimodal, solver=cfg.solver,
                 iters=cfg.solver_iters, block=cfg.solver_block,
-            ))
-            for b, s in enumerate(scenes):
-                if not active[b]:
-                    continue
-                ns = len(s["unique_segments"])
-                vec = vecs[b, :ns]
-                uniq = np.asarray(s["unique_segments"])
-                seg_ids = np.asarray(s["segment_ids"])
-                bipartition = vec > vec.mean()
+            )
 
-                # flip when the partition covers too much of the scene (:454-459)
-                if bipartition.sum() / max(len(bipartition), 1) > cfg.max_extent_ratio:
-                    bipartition = ~bipartition
-                    vec = -vec
-
-                sep = _separate(bipartition, vec, uniq, s["connectivity"],
-                                cfg.separation_mode)
-                mask = np.isin(uniq, list(sep))
-                # paint current mask regardless of acceptance (:471-475,499)
-                painting[b, :ns] = np.clip(painting[b, :ns] + mask, 0, 1)
-
-                if len(sep) == 0:
-                    continue
-                iou = len(sep & foreground[b]) / len(sep)
-                if iou > 0.5 or len(sep) < cfg.min_segment_size:
-                    continue
-                accepted = sep - foreground[b]
-                results[b].append(np.isin(uniq, list(accepted)))
-                foreground[b] |= sep
+        idx_d = [jnp.asarray(h) for h in halves]
+        pending = {0: solve(idx_d[0])}
+        iters_left = {g: cfg.max_number_of_instances for g in range(len(halves))}
+        while pending:
+            for g in list(pending):
+                nxt = (g + 1) % len(halves)
+                # dispatch the other half before fetching this one
+                if (len(halves) > 1 and nxt not in pending
+                        and iters_left[nxt] > 0
+                        and active[halves[nxt]].any()):
+                    pending[nxt] = solve(idx_d[nxt])
+                vecs = np.asarray(pending.pop(g))
+                for j, b in enumerate(halves[g]):
+                    if active[b]:
+                        host_step(b, scenes[b], vecs[j])
+                iters_left[g] -= 1
+                if iters_left[g] > 0 and active[halves[g]].any():
+                    pending[g] = solve(idx_d[g])
 
         out = []
         for b, s in enumerate(scenes):

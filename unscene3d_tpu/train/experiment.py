@@ -350,6 +350,12 @@ class Experiment:
                 win_spill=[(bucket_size(int(v * 1.5) + 8, align=8,
                                         min_size=8) if v else 8)
                            for v in merged.get("win_spill", [0] * 5)],
+                win_spill_down=[(bucket_size(int(v * 1.5) + 8, align=8,
+                                             min_size=8) if v else 8)
+                                for v in merged.get("win_spill_down", [0] * 5)],
+                win_spill_up=[(bucket_size(int(v * 1.5) + 8, align=8,
+                                           min_size=8) if v else 8)
+                              for v in merged.get("win_spill_up", [0] * 5)],
                 csr_pb=[([grow(b, align=256) for b in v]
                          if isinstance(v, (list, tuple)) else 0)
                         for v in merged.get("csr_pb",
