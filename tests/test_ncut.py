@@ -139,3 +139,33 @@ def test_multimodal_normalization_no_rowwise():
                                                     max_number_of_instances=6))
     assert masks.shape[1] == len(uniq)
     assert masks.shape[0] >= 2
+
+
+def test_device_loop_matches_host_loop():
+    """The device-resident greedy loop (NCutConfig.device_loop) must produce
+    the same masks as the per-iteration host loop."""
+    import dataclasses
+
+    from unscene3d_tpu.pseudo.ncut import BatchedNCut, NCutConfig
+
+    r = np.random.RandomState(0)
+    scenes = []
+    for i in range(4):
+        s = 40 + 7 * i
+        feats = r.randn(s, 16).astype(np.float32)
+        uniq = np.arange(s)
+        conn = np.column_stack([np.arange(s - 1), np.arange(1, s)])
+        conn = np.vstack([conn, conn[:, ::-1]])
+        seg_ids = np.repeat(uniq, 3)
+        coords = r.rand(len(seg_ids), 3).astype(np.float32) * 5
+        scenes.append(dict(features=feats, unique_segments=uniq,
+                           connectivity=conn, segment_ids=seg_ids,
+                           coords=coords))
+    for mode in ("max", "avg", "largest"):
+        cfg_d = NCutConfig(device_loop=True, separation_mode=mode,
+                           solver="eigh")
+        cfg_h = dataclasses.replace(cfg_d, device_loop=False)
+        got = BatchedNCut(cfg_d).run([dict(x) for x in scenes])
+        want = BatchedNCut(cfg_h).run([dict(x) for x in scenes])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w, err_msg=f"mode={mode}")

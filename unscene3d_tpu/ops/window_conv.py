@@ -194,6 +194,100 @@ def _kernel(r0_ref, starts_ref, lidx_ref, x_any, w_ref, *rest,
     o_ref[:] = y.astype(out_dtype)
 
 
+def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
+               scratch, sems, *, W, WU, n_pad):
+    """dW[k] = sum_tiles select_k(window)^T @ gy_tile, accumulated in a
+    VMEM-resident (26, cpad, cout) output across grid steps (same windowed
+    selects as the forward; the center offset's dW is one big GEMM done in
+    XLA by the caller)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def dma(slot, tt):
+        r0 = pl.multiple_of(r0_ref[tt], 8)
+        return pltpu.make_async_copy(
+            x_any.at[pl.ds(r0, WU)], scratch.at[slot], sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    dma(t % 2, t).wait()
+    slot = t % 2
+    gy = gy_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    for ki in range(26):
+        u = pl.multiple_of(starts_ref[t, ki], 8)
+        sub = scratch.at[slot][pl.ds(u, W), :]
+        li = lidx_ref[:, ki:ki + 1].astype(jnp.int32)
+        onehot = (li == iota).astype(sub.dtype)
+        g = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
+        dwk = jax.lax.dot_general(
+            g.astype(sub.dtype), gy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (cpad, cout)
+        o_ref[ki] = o_ref[ki] + dwk
+
+
+def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
+                    ) -> jnp.ndarray:
+    """Non-center dW blocks: (26, Cin, Cout) f32. gy must already be masked
+    to valid rows. Spilled pairs are NOT included (caller adds them)."""
+    n_pad, cin = x.shape
+    cout = gy.shape[-1]
+    from unscene3d_tpu.ops.csr_conv import fallback_active
+
+    if jax.default_backend() == "cpu" or fallback_active():
+        tile_of = jnp.arange(n_pad) // T
+        base = jnp.take(wg.r0, tile_of)
+        dws = []
+        for ki in range(26):
+            li = wg.lidx[:, ki].astype(jnp.int32)
+            rows = base + jnp.take(wg.starts[:, ki], tile_of) + li
+            rows = jnp.where(li >= 0, rows, n_pad - 1)
+            gk = jnp.take(x, rows, axis=0) * (li >= 0)[:, None].astype(x.dtype)
+            dws.append(jnp.einsum("nc,nd->cd", gk.astype(jnp.float32),
+                                  gy.astype(jnp.float32)))
+        return jnp.stack(dws)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W, WU = wg.w_sub, wg.w_union
+    cpad = -(-cin // 128) * 128
+    xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // T,),
+        in_specs=[
+            pl.BlockSpec((T, 26), lambda t, r, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((T, cout), lambda t, r, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((26, cpad, cout), lambda t, r, s: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, WU, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_dw_kernel, W=W, WU=WU, n_pad=n_pad)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((26, cpad, cout), jnp.float32),
+    )(wg.r0, wg.starts, wg.lidx, xp, gy.astype(x.dtype))
+    return out[:, :cin, :]
+
+
 def _spill_contrib(x, w, wg: WinGraph, n_pad, cout):
     """Spilled pairs: gather + per-offset GEMM + deterministic segment-sum.
     Sentinel pairs read the zero padding row and land on it too."""
@@ -363,22 +457,13 @@ def _win_bwd(res, g):
     # dx: same tables, flip-transposed weights (offset symmetry: the
     # transpose map of offset k is the map of offset 26-k)
     dx = window_conv3_fwd(gm, _flip_transpose(w).astype(w.dtype), wg, valid)
-    # dW[k] = gather_k(x)^T @ gm via the XLA reconstruction (training keeps
-    # the scan engine by default; this keeps autodiff correct when used)
+    # dW[k] = select_k(window)^T @ gm via the dW kernel (same windowed
+    # selects as the forward; XLA reconstruction on CPU)
     n_pad, cin = x.shape
-    tile_of = jnp.arange(n_pad) // T
-    base = jnp.take(wg.r0, tile_of)
-    dws = []
-    for ki in range(26):
-        li = wg.lidx[:, ki].astype(jnp.int32)
-        rows = base + jnp.take(wg.starts[:, ki], tile_of) + li
-        rows = jnp.where(li >= 0, rows, n_pad - 1)
-        gk = jnp.take(x, rows, axis=0) * (li >= 0)[:, None].astype(x.dtype)
-        dws.append(jnp.einsum("nc,nd->cd", gk.astype(jnp.float32),
-                              gm.astype(jnp.float32)))
+    dws = window_conv3_dw(x, gm, wg)
     dwc = jnp.einsum("nc,nd->cd", x.astype(jnp.float32),
                      gm.astype(jnp.float32))
-    dw = jnp.stack(dws[:13] + [dwc] + dws[13:], axis=0)
+    dw = jnp.concatenate([dws[:13], dwc[None], dws[13:]], axis=0)
     # spilled pairs' dW/dx contributions
     if int(wg.num_spill_padded) > 0:
         xs = jnp.take(x, wg.spill_in, axis=0).astype(jnp.float32)

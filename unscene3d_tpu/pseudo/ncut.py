@@ -45,6 +45,13 @@ class NCutConfig:
     solver: str = "subspace"
     solver_iters: int = 64
     solver_block: int = 8
+    # run the WHOLE greedy loop on device (components via neighbor-min +
+    # pointer-jump label propagation; flip/IoU/paint as vectorized mask
+    # ops): one jit call per scene batch, no per-iteration host round trips
+    # (each dev-tunnel fetch costs ~30ms; the host loop paid 2 per
+    # iteration). 'host' falls back to the per-iteration python loop.
+    device_loop: bool = True
+    label_prop_steps: int = 24
 
 
 def _normalize_mat(a: jnp.ndarray, valid2: jnp.ndarray) -> jnp.ndarray:
@@ -171,6 +178,95 @@ def ncut_eigenvectors(
     return jax.vmap(one)(feats_a, feats_b, painting, invalid)
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "eps", "multimodal", "solver", "iters", "block",
+                     "max_inst", "max_extent_ratio", "min_segment_size",
+                     "mode", "prop_steps"))
+def _device_greedy(fa, fb, invalid, adj, *, tau, eps, multimodal, solver,
+                   iters, block, max_inst, max_extent_ratio,
+                   min_segment_size, mode, prop_steps):
+    """The full greedy masked-NCut loop on device (reference
+    unscene3d_pseudo_main.py:405-502 semantics: mean-threshold bipartition,
+    >0.8 flip, connectivity separation, IoU/min-size gates, painting).
+    Returns (B, max_inst, S) accepted masks (False rows = rejected)."""
+    B, S = invalid.shape
+    iota = jnp.arange(S)
+    valid = ~invalid
+    cntv = jnp.maximum(valid.sum(-1), 1).astype(jnp.float32)
+
+    def body(it, carry):
+        painting, fg, masks = carry
+        vec = ncut_eigenvectors(fa, fb, painting, invalid, tau=tau, eps=eps,
+                                multimodal=multimodal, solver=solver,
+                                iters=iters, block=block)
+        mean = (vec * valid).sum(-1) / cntv
+        bip = (vec > mean[:, None]) & valid
+        frac = bip.sum(-1) / cntv
+        flip = frac > max_extent_ratio
+        bip = jnp.where(flip[:, None], valid & ~bip, bip)
+        vec = jnp.where(flip[:, None], -vec, vec)
+
+        # connected components: neighbor-min + pointer jumping
+        lab = jnp.where(bip, iota[None, :], S)
+        adjb = adj & bip[:, :, None] & bip[:, None, :]
+
+        def prop(_, lab):
+            nm = jnp.min(jnp.where(adjb, lab[:, None, :], S), axis=-1)
+            lab = jnp.where(bip, jnp.minimum(lab, nm), lab)
+            ptr = jnp.take_along_axis(lab, jnp.clip(lab, 0, S - 1), axis=1)
+            return jnp.where(bip, jnp.minimum(lab, ptr), lab)
+
+        lab = jax.lax.fori_loop(0, prop_steps, prop, lab)
+
+        if mode == "all":
+            comp = bip
+        else:
+            ids = (jnp.arange(B)[:, None] * (S + 1)
+                   + jnp.clip(lab, 0, S)).reshape(-1)
+            sizes = jax.ops.segment_sum(
+                bip.astype(jnp.float32).reshape(-1), ids,
+                num_segments=B * (S + 1)).reshape(B, S + 1)[:, :S]
+            if mode == "max":
+                seed = jnp.argmax(jnp.where(valid, vec, -jnp.inf), axis=1)
+                seed_lab = jnp.take_along_axis(lab, seed[:, None], 1)[:, 0]
+                seed_in = jnp.take_along_axis(bip, seed[:, None], 1)[:, 0]
+                # seed outside the bipartition -> first component (min root)
+                fallback = jnp.min(jnp.where(bip, lab, S), axis=1)
+                chosen = jnp.where(seed_in, seed_lab, fallback)
+            elif mode == "largest":
+                chosen = jnp.argmax(sizes, axis=1)
+            elif mode == "avg":
+                vsum = jax.ops.segment_sum(
+                    (vec * bip).reshape(-1), ids,
+                    num_segments=B * (S + 1)).reshape(B, S + 1)[:, :S]
+                means = vsum / jnp.maximum(sizes, 1.0)
+                chosen = jnp.argmax(
+                    jnp.where(sizes > 0, means, -jnp.inf), axis=1)
+            else:
+                raise NotImplementedError(mode)
+            comp = bip & (lab == chosen[:, None])
+
+        painting = jnp.clip(painting + comp, 0.0, 1.0)
+        size = comp.sum(-1)
+        inter = (comp & fg).sum(-1)
+        iou = inter / jnp.maximum(size, 1)
+        accept = (size > 0) & (iou <= 0.5) & (size >= min_segment_size)
+        newmask = comp & ~fg & accept[:, None]
+        masks = jax.lax.dynamic_update_index_in_dim(
+            masks, newmask, it, axis=1)
+        fg = fg | (comp & accept[:, None])
+        return painting, fg, masks
+
+    init = (jnp.zeros((B, S), jnp.float32), jnp.zeros((B, S), bool),
+            jnp.zeros((B, max_inst, S), bool))
+    _, _, masks = jax.lax.fori_loop(0, max_inst, body, init)
+    return masks
+
+
 def _separate(bipartition, vec, unique_segments, connectivity, mode):
     """Connected components of the bipartition under segment adjacency;
     pick per separation mode (reference :181-250)."""
@@ -262,6 +358,49 @@ class BatchedNCut:
             if len(s["unique_segments"]) < 3:
                 results[b].append(np.ones(len(s["unique_segments"]), bool))
                 active[b] = False
+
+        if cfg.device_loop:
+            # segment-id edges -> row-space adjacency, one upload per batch
+            e_pad = max(max((np.asarray(s["connectivity"]).reshape(-1, 2)
+                             .shape[0] for s in scenes), default=1), 1)
+            edges = np.full((B, e_pad, 2), s_pad - 1, np.int32)
+            for b, s in enumerate(scenes):
+                conn = np.asarray(s["connectivity"]).reshape(-1, 2)
+                uniq = np.asarray(s["unique_segments"])
+                sorter = np.argsort(uniq, kind="stable")
+                su = uniq[sorter]
+                pos = np.searchsorted(su, conn)
+                pos = np.minimum(pos, len(su) - 1)
+                okk = (su[pos] == conn).all(axis=1)
+                rows = sorter[pos[okk]]
+                edges[b, : len(rows)] = rows
+            bidx = jnp.repeat(jnp.arange(B), e_pad)
+            e0 = jnp.asarray(edges[:, :, 0]).reshape(-1)
+            e1 = jnp.asarray(edges[:, :, 1]).reshape(-1)
+            adj = jnp.zeros((B, s_pad, s_pad), bool)
+            adj = adj.at[bidx, e0, e1].set(True)
+            adj = adj | adj.swapaxes(1, 2)
+            masks_d = np.asarray(_device_greedy(
+                fa_d, fb_d, invalid_d, adj,
+                tau=cfg.affinity_tau, eps=cfg.eps, multimodal=multimodal,
+                solver=cfg.solver, iters=cfg.solver_iters,
+                block=cfg.solver_block,
+                max_inst=cfg.max_number_of_instances,
+                max_extent_ratio=cfg.max_extent_ratio,
+                min_segment_size=cfg.min_segment_size,
+                mode=cfg.separation_mode,
+                prop_steps=cfg.label_prop_steps))
+            out = []
+            for b, s in enumerate(scenes):
+                ns = len(s["unique_segments"])
+                if not active[b]:
+                    out.append(np.stack([m[:ns] for m in results[b]])
+                               if results[b] else np.zeros((0, ns), bool))
+                    continue
+                rows = [m[:ns] for m in masks_d[b] if m.any()]
+                out.append(np.stack(rows) if rows
+                           else np.zeros((0, ns), bool))
+            return out
 
         scene_min = [np.asarray(s["coords"]).min(0) for s in scenes]
         scene_max = [np.asarray(s["coords"]).max(0) for s in scenes]
