@@ -43,8 +43,12 @@ def main():
     from unscene3d_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    import os as _os
+    _group = int(_os.environ.get("GROUP", 1))
     scene = make_scene(num_points=250_000, num_objects=12, extent=8.0, seed=0)
-    batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True)([scene])
+    batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True,
+                                   win_levels=(0,) if _group > 1 else (),
+                                   win_group=_group)([scene])
     level = batch.graph.levels[0]
     n_pad = level.num_padded
     nbr = np.asarray(level.nbr_idx)
@@ -53,7 +57,9 @@ def main():
     w_sub = int(os.environ.get("W_SUB", 512))
     w_union = int(os.environ.get("W_UNION", 4096))
     cin_env = int(os.environ.get("CIN", 96))
-    wg = build_win_graph(nbr, n_pad, w_sub=w_sub, w_union=w_union)
+    group = int(os.environ.get("GROUP", 1))
+    wg = build_win_graph(nbr, n_pad, w_sub=w_sub, w_union=w_union,
+                         group=group)
     n_valid_pairs = int((nbr != (n_pad - 1)).sum()) - n_pad
     print(f"host build {time.perf_counter()-t0:.2f}s  "
           f"spill_pad={wg.num_spill_padded} "

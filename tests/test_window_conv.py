@@ -20,8 +20,11 @@ from unscene3d_tpu.ops.window_conv import build_win_graph, window_conv3, window_
 def level_pair():
     scene = make_scene(num_points=12_000, num_objects=4, extent=3.0, seed=3)
     batch, _ = FreeMaskCollator(voxel_size=0.02)([scene])
-    # rebuild the same level with win tables (w_sub small to force spill)
-    batch_w, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1))([scene])
+    # rebuild the same level with win tables (win_group=1 keeps the same
+    # 256-aligned pads as the plain collation; grouped tables are covered
+    # by test_window_conv_grouped)
+    batch_w, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1),
+                                  win_group=1)([scene])
     return batch.graph.levels[0], batch_w.graph.levels[0]
 
 
@@ -39,7 +42,7 @@ def test_tables_reconstruct_neighbors(level_pair):
     ks = [k for k in range(27) if k != 13]
     for ki, k in enumerate(ks):
         li = lidx[:, ki].astype(np.int64)
-        rows = r0[tile_of] + starts[tile_of, ki] + li
+        rows = r0[tile_of // wg.group] + starts[tile_of, ki] + li
         got = np.where(li >= 0, rows, n_pad - 1)
         recon[k] = got
     # spilled pairs fill in the rest
@@ -133,13 +136,58 @@ def test_window_conv_vjp(level_pair):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_window_conv_grouped(level_pair):
+    """group=G tables (one union DMA per G tiles) are numerically identical
+    to group=1; spills and VJP stay exact."""
+    level, level_w = level_pair
+    n_pad = level_w.num_padded
+    g = 1
+    for cand in (4, 2):
+        if n_pad % (256 * cand) == 0:
+            g = cand
+            break
+    assert g > 1, f"pad {n_pad} not groupable; adjust the fixture scene"
+    wg = build_win_graph(np.asarray(level_w.nbr_idx), n_pad,
+                         w_sub=min(384, n_pad),
+                         w_union=min(4096 + (g - 1) * 256, n_pad), group=g)
+    rng = np.random.RandomState(7)
+    cin = cout = 12
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * level_w.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+    ref = window_conv3(x, w, level_w.win, level_w.valid)
+    got = window_conv3(x, w, wg, level_w.valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f(x, w, graph):
+        return (window_conv3(x, w, graph, level_w.valid) ** 2).sum()
+
+    gx_g, gw_g = jax.grad(f, argnums=(0, 1))(x, w, wg)
+    gx_1, gw_1 = jax.grad(f, argnums=(0, 1))(x, w, level_w.win)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_g), np.asarray(gw_1),
+                               rtol=1e-3, atol=1e-3)
+
+    # tile=128 tables (tighter windows, the round-3 eval default)
+    if n_pad % (128 * 4) == 0:
+        wg128 = build_win_graph(np.asarray(level_w.nbr_idx), n_pad,
+                                w_sub=min(160, n_pad),
+                                w_union=min(4096, n_pad), group=4, tile=128)
+        got = window_conv3(x, w, wg128, level_w.valid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
 # ------------------------------------------------- K-offset window tables
 def test_window_k2_down_up_pool():
     """Windowed k2s2 down conv / transposed conv / avg-pool equal the gather
     formulations (ops/window_gather.py)."""
     scene = make_scene(num_points=15_000, num_objects=4, extent=3.0, seed=11)
     b0, _ = FreeMaskCollator(voxel_size=0.02)([scene])
-    bw, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1, 2))([scene])
+    bw, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1, 2),
+                             win_group=1)([scene])
     fine0, coarse0 = b0.graph.levels[0], b0.graph.levels[1]
     finew, coarsew = bw.graph.levels[0], bw.graph.levels[1]
     assert coarsew.win_down is not None and finew.win_up is not None
@@ -171,7 +219,8 @@ def test_window_k2_down_up_pool():
 def test_window_k2_down_vjp_matches():
     scene = make_scene(num_points=9_000, num_objects=3, extent=3.0, seed=13)
     b0, _ = FreeMaskCollator(voxel_size=0.02)([scene])
-    bw, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1))([scene])
+    bw, _ = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1),
+                             win_group=1)([scene])
     fine0, coarse0 = b0.graph.levels[0], b0.graph.levels[1]
     finew, coarsew = bw.graph.levels[0], bw.graph.levels[1]
     rng = np.random.RandomState(1)

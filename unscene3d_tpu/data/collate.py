@@ -20,6 +20,13 @@ from unscene3d_tpu.ops.kernel_maps import build_sparse_graph
 from unscene3d_tpu.ops.sparse_graph import bucket_size
 
 
+def _pair(v):
+    """Normalize a win_spill plan entry to [table_rows, slice_len]."""
+    if isinstance(v, (list, tuple)):
+        return [int(v[0]), int(v[1])]
+    return [int(v), int(v)]
+
+
 def _merge_csr_pb(entries):
     """Elementwise max of per-offset csr bucket lists (0 = level without csr)."""
     lists = [e for e in entries if isinstance(e, (list, tuple))]
@@ -113,6 +120,9 @@ class FreeMaskCollator:
                  fine_buckets: bool = False,
                  csr_levels: tuple = (),
                  win_levels: tuple = (),
+                 win_group: int = 8,
+                 win_tile: int = 256,
+                 win_w_sub: int = 384,
                  small_crops: bool = False,
                  very_small_crops: bool = False):
         self.voxel_size = voxel_size
@@ -135,6 +145,11 @@ class FreeMaskCollator:
         # levels whose k3 convs use the windowed-select Pallas kernel
         # (ops/window_conv.py) -- no HBM row gathers; round-3 eval default
         self.win_levels = tuple(win_levels)
+        # tiles per union-window DMA (amortizes the w_union/T read
+        # amplification; G=8 divides it by ~6 on the bench scene)
+        self.win_group = int(win_group)
+        self.win_tile = int(win_tile)
+        self.win_w_sub = int(win_w_sub)
         # reference VoxelizeCollate small_crops / very_small_crops
         # (datasets/utils.py:37-45): quadrant-split scenes once or twice
         self.small_crops = bool(small_crops)
@@ -196,6 +211,9 @@ class FreeMaskCollator:
             win_spills=pads.get("win_spill") if pads else None,
             win_spills_down=pads.get("win_spill_down") if pads else None,
             win_spills_up=pads.get("win_spill_up") if pads else None,
+            win_group=self.win_group,
+            win_tile=self.win_tile,
+            win_w_sub=self.win_w_sub,
         )
         n0_pad = graph.levels[0].num_padded
 
@@ -299,7 +317,8 @@ class FreeMaskCollator:
                     for l in batch.graph.levels],
             csr_pb=[(list(l.csr.pb) if l.csr is not None else 0)
                     for l in batch.graph.levels],
-            win_spill=[(l.win.num_spill_padded if l.win is not None else 0)
+            win_spill=[([l.win.num_spill_padded, l.win.spill_q]
+                        if l.win is not None else [0, 0])
                        for l in batch.graph.levels],
             win_spill_down=[(l.win_down.num_spill_padded
                              if l.win_down is not None else 0)
@@ -321,7 +340,8 @@ class FreeMaskCollator:
             bricks=[max(p["bricks"][i] for p in plans) for i in range(len(plans[0]["bricks"]))],
             csr_pb=[_merge_csr_pb([p.get("csr_pb", [0] * 5)[i] for p in plans])
                     for i in range(len(plans[0]["levels"]))],
-            win_spill=[max(p.get("win_spill", [0] * 5)[i] for p in plans)
+            win_spill=[[max(_pair(p.get("win_spill", [[0, 0]] * 5)[i])[j]
+                            for p in plans) for j in (0, 1)]
                        for i in range(len(plans[0]["levels"]))],
             win_spill_down=[max(p.get("win_spill_down", [0] * 5)[i]
                                 for p in plans)

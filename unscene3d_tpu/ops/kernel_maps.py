@@ -164,6 +164,15 @@ def build_down_neighbor_map(coarse_coords: np.ndarray, fine_coords: np.ndarray
     return idx, valid
 
 
+def _win_spill_plan(v):
+    """Normalize a plan entry to (table_rows, slice_len) or None."""
+    if isinstance(v, (list, tuple)):
+        p8, q = int(v[0]), int(v[1])
+    else:
+        p8 = q = int(v or 0)
+    return (p8, q) if (p8 or q) else None
+
+
 def build_sparse_graph(
     coords: np.ndarray,
     num_levels: int = 5,
@@ -181,6 +190,8 @@ def build_sparse_graph(
     win_spills_up: list | None = None,
     win_w_sub: int = 384,
     win_w_union: int = 4096,
+    win_group: int = 8,
+    win_tile: int = 256,
 ) -> SparseGraph:
     """Build the full multi-level topology for one collated batch.
 
@@ -206,9 +217,12 @@ def build_sparse_graph(
     pads = [
         pad_sizes[li] if pad_sizes is not None
         else bucket_size(len(level_coords[li]) + 1, fine=fine_buckets,
-                         # the CSR/window kernels tile out rows in 256 blocks
-                         align=256 if (li in csr_levels or li in win_levels)
-                         else 128)
+                         # the CSR kernel tiles out rows in 256 blocks; win
+                         # grouping amortizes one union DMA over win_group
+                         # tiles of win_tile rows, so pads align to G*tile
+                         align=max(256 if li in csr_levels else 128,
+                                   win_tile * win_group
+                                   if li in win_levels else 128))
         for li in range(num_levels)
     ]
     levels = []
@@ -251,17 +265,26 @@ def build_sparse_graph(
                 np.asarray(lvl.nbr_idx), pads[li],
                 pb=(csr_pbs[li] or None) if csr_pbs else None,
             ))
-        if li in win_levels and pads[li] >= 2 * 256:
+        if li in win_levels and pads[li] >= 2 * win_tile:
             from unscene3d_tpu.ops.window_conv import build_win_graph
             from unscene3d_tpu.ops.window_gather import (
                 build_win_tables,
                 up_tables_from_parents,
             )
 
+            # largest group <= win_group whose G*tile tiling divides the pad
+            # (master pad plans may carry pads aligned only to 256)
+            g = win_group
+            while g > 1 and pads[li] % (win_tile * g):
+                g //= 2
             lvl = lvl.replace(win=build_win_graph(
                 np.asarray(lvl.nbr_idx), pads[li],
-                w_sub=min(win_w_sub, pads[li]), w_union=win_w_union,
-                spill_pad=(win_spills[li] or None) if win_spills else None,
+                w_sub=min(win_w_sub, pads[li]),
+                w_union=win_w_union + (g - 1) * win_tile,
+                # plan value is (compact table rows, per-tile slice len)
+                spill_plan=_win_spill_plan(win_spills[li])
+                if win_spills else None,
+                group=g, tile=win_tile,
             ))
             if li > 0:
                 lvl = lvl.replace(win_down=build_win_tables(

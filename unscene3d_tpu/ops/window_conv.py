@@ -35,22 +35,42 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-T = 256          # out rows per grid step
+T = 256          # default out rows per grid step (see WinGraph.tile)
 
 
 @struct.dataclass
 class WinGraph:
-    """Window tables of one level's k3 topology (non-center offsets)."""
+    """Window tables of one level's k3 topology (non-center offsets).
 
-    r0: jnp.ndarray          # (n_tiles,) int32 union-window start row
+    Spilled pairs (neighbor outside the per-offset sub-window, <0.5%
+    measured) live in a COMPACT table sorted by out tile: tile t's pairs
+    occupy slots [sp_q0[t], sp_q0[t] + sp_qn[t]), segments 8-aligned so the
+    kernel can slice them at a provably-aligned dynamic start. Per-tile
+    spill counts are heavily spiked (a handful of x-slice-span-outlier
+    tiles own ~90% of the spills), so a padded per-tile layout would blow
+    the table up ~100x; the compact layout plus a pl.when-guarded in-kernel
+    inject keeps both the table and the MXU cost proportional to REAL
+    spills."""
+
+    r0: jnp.ndarray          # (n_super,) int32 union-window start row
     starts: jnp.ndarray      # (n_tiles, 26) int32 sub-window start rel to r0
     lidx: jnp.ndarray        # (n_pad, 26) int16 neighbor idx rel to
     #                          sub-window start; -1 = no neighbor / spilled
-    spill_out: jnp.ndarray   # (P_s,) int32 out row (sentinel n_pad-1)
-    spill_in: jnp.ndarray    # (P_s,) int32 in row (sentinel n_pad-1)
-    spill_k: jnp.ndarray     # (P_s,) int32 offset id in [0, 27)
+    spill_out: jnp.ndarray   # (P8,) int32 out row (sentinel n_pad-1)
+    spill_in: jnp.ndarray    # (P8,) int32 in row (sentinel n_pad-1)
+    spill_k: jnp.ndarray     # (P8,) int32 offset id in [0, 27)
+    spill_rows: jnp.ndarray  # (P8,) int32 out row rel OWN tile start; -1
+    sp_q0: jnp.ndarray       # (n_tiles,) int32 8-aligned, in-bounds-clamped
+    #                          kernel slice start
+    sp_qn: jnp.ndarray       # (n_tiles, 2) int32 [qa, qb): tile's own pair
+    #                          range RELATIVE to the sp_q0 slice
     w_sub: int = struct.field(pytree_node=False, default=512)
     w_union: int = struct.field(pytree_node=False, default=2304)
+    group: int = struct.field(pytree_node=False, default=1)
+    tile: int = struct.field(pytree_node=False, default=256)
+    spill_q: int = struct.field(pytree_node=False, default=0)
+    #                          ^ static kernel slice length: max 8-aligned
+    #                            per-tile segment (0 = no spills)
 
     @property
     def num_spill_padded(self) -> int:
@@ -58,8 +78,9 @@ class WinGraph:
 
 
 def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
-                    w_union: int = 4096, spill_pad: int | None = None
-                    ) -> WinGraph:
+                    w_union: int = 4096,
+                    spill_plan: tuple | None = None,
+                    group: int = 1, tile: int = T) -> WinGraph:
     """Build window tables from a (27, n_pad) k3 neighbor map (missing ->
     n_pad-1, the always-padding row). Vectorized numpy; the center offset
     (13) is streamed directly by the kernel and not tabled.
@@ -68,13 +89,31 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
     The union start r0 per tile is data-dependent: the dx=+-1 offsets sit
     one x-slice away in the sort order, so the union must span roughly two
     slice occupancies + w_sub (measured 3.3k rows max on the 200k bench
-    scene)."""
+    scene).
+
+    group=G amortizes ONE union-window DMA over G consecutive tile-row out
+    tiles (the kernel's per-tile read amplification is w_union/tile;
+    grouping divides it by ~G since consecutive tiles' unions overlap
+    almost entirely). Selects stay per-tile, so MXU work is unchanged.
+    Requires n_pad % (G*tile) == 0; w_union must additionally cover the
+    extra (G-1)*tile rows of in-group drift.
+
+    tile=128 makes the per-offset windows ~2.4x tighter than tile=256
+    (w_sub 160 covers 99.6% of pairs vs 384; selects are the kernel's
+    dominant MXU cost, proportional to w_sub)."""
     nbr_idx = np.asarray(nbr_idx)
     assert nbr_idx.shape[0] == 27 and nbr_idx.shape[1] == n_pad
+    group, tile = int(group), int(tile)
     w_union = min(int(w_union), n_pad)
-    assert n_pad % T == 0 and n_pad >= w_union >= w_sub
-    n_tiles = n_pad // T
-    tile_of = np.arange(n_pad) // T
+    assert n_pad % (tile * group) == 0 and n_pad >= w_union >= w_sub
+    # all r0 clip bounds below are multiples of 8 iff w_union/w_sub are, so
+    # the final align-down is a no-op and cannot push the union off the
+    # supertile's own rows (the center offset streams from the union)
+    assert w_union % 8 == 0 and w_sub % 8 == 0 and tile % 8 == 0
+    n_tiles = n_pad // tile
+    n_super = n_tiles // group
+    tile_of = np.arange(n_pad) // tile
+    super_of_tile = np.arange(n_tiles) // group
 
     ks = [k for k in range(27) if k != 13]
     BIG = np.int64(1 << 40)
@@ -85,26 +124,32 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         idx = nbr_idx[k].astype(np.int64)
         valid = idx != (n_pad - 1)
         valid_k.append(valid)
-        per_tile = np.where(valid, idx, BIG).reshape(n_tiles, T)
+        per_tile = np.where(valid, idx, BIG).reshape(n_tiles, tile)
         lo = per_tile.min(axis=1)
         lo_k[ki] = np.where(lo == BIG, BIG, lo & ~7)          # align 8
-    tstart = np.arange(n_tiles, dtype=np.int64) * T
-    r0 = lo_k.min(axis=0)
-    r0 = np.where(r0 == BIG, tstart, r0)
-    # the tile's own rows must lie inside the union (the center offset is
-    # streamed from it); offsets pushed out of coverage spill instead
-    r0 = np.clip(r0, tstart + T - w_union, tstart)
-    r0 = np.clip(r0, 0, n_pad - w_union)
+    tstart = np.arange(n_tiles, dtype=np.int64) * tile
+    r0_tile = lo_k.min(axis=0)
+    r0_tile = np.where(r0_tile == BIG, tstart, r0_tile)
+    # union start per SUPER tile (group of G tiles): low enough for every
+    # member tile's offsets, high enough that the last member's own rows
+    # stay inside (the center offset streams from the union); offsets
+    # pushed out of coverage spill instead
+    sstart = tstart.reshape(n_super, group)[:, 0]
+    send = sstart + group * tile                              # rows end
+    r0 = r0_tile.reshape(n_super, group).min(axis=1)
+    r0 = np.clip(r0, send - w_union, sstart)
+    r0 = np.clip(r0, 0, n_pad - w_union) & ~7
 
+    r0_of_tile = r0[super_of_tile]
     starts = np.zeros((n_tiles, 26), np.int32)
     lidx = np.full((n_pad, 26), -1, np.int16)
     sp_out, sp_in, sp_k = [], [], []
     for ki, k in enumerate(ks):
         idx = nbr_idx[k].astype(np.int64)
         valid = valid_k[ki]
-        lo = np.where(lo_k[ki] == BIG, r0, lo_k[ki])
-        lo = np.clip(lo, r0, r0 + w_union - w_sub)
-        starts[:, ki] = (lo - r0).astype(np.int32)
+        lo = np.where(lo_k[ki] == BIG, r0_of_tile, lo_k[ki])
+        lo = np.clip(lo, r0_of_tile, r0_of_tile + w_union - w_sub)
+        starts[:, ki] = (lo - r0_of_tile).astype(np.int32)
         rel = idx - lo[tile_of]
         ok = valid & (rel >= 0) & (rel < w_sub)
         lidx[ok, ki] = rel[ok].astype(np.int16)
@@ -115,44 +160,93 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
             sp_in.append(idx[rows].astype(np.int32))
             sp_k.append(np.full(len(rows), k, np.int32))
 
-    from unscene3d_tpu.ops.sparse_graph import bucket_size
-
+    # compact tile-sorted spill packing: tile t's pairs at 8-aligned slots
+    # [q0[t], q0[t]+qn[t]); the kernel folds tile t's segment in with ONE
+    # (qn-guarded) transposed-one-hot matmul so residual/ReLU stay fused
+    # in-kernel, and the table stays proportional to REAL spills (a padded
+    # per-tile layout paid the worst tile's count for every tile)
     n_spill = sum(len(a) for a in sp_out)
-    if spill_pad is None:
-        spill_pad = bucket_size(n_spill, align=8, min_size=8) if n_spill else 8
-    assert spill_pad >= n_spill, f"spill bucket {spill_pad} < {n_spill}"
-    out = np.full(spill_pad, n_pad - 1, np.int32)
-    inn = np.full(spill_pad, n_pad - 1, np.int32)
-    kk = np.zeros(spill_pad, np.int32)
     if n_spill:
-        out[:n_spill] = np.concatenate(sp_out)
-        inn[:n_spill] = np.concatenate(sp_in)
-        kk[:n_spill] = np.concatenate(sp_k)
+        all_out = np.concatenate(sp_out)
+        all_in = np.concatenate(sp_in)
+        all_k = np.concatenate(sp_k)
+        t_of = all_out // tile
+        counts = np.bincount(t_of, minlength=n_tiles)
+    else:
+        counts = np.zeros(n_tiles, np.int64)
+    seg = -(-counts // 8) * 8                                # aligned lens
+    q0 = np.concatenate([[0], np.cumsum(seg)[:-1]])
+    q_need = int(seg.max()) if n_spill else 0
+    p_need = int(seg.sum())
+    if spill_plan is None:
+        spill_q, p8 = q_need, p_need
+    else:
+        p8, spill_q = int(spill_plan[0]), int(spill_plan[1])
+    assert spill_q >= q_need and p8 >= p_need, (
+        f"spill plan ({p8}, {spill_q}) < needed ({p_need}, {q_need})")
+    # the kernel slices [q0c, q0c + spill_q) with q0c clamped in-bounds;
+    # tile t's own pairs sit at relative slots [qa, qb) inside the slice
+    # (the slice may overlap neighboring tiles' segments, which the kernel
+    # masks out by this range)
+    P = max(p8, spill_q) if (n_spill or p8 or spill_q) else 0
+    q0c = np.minimum(q0, max(P - spill_q, 0))
+    qa = q0 - q0c
+    qb = qa + counts
+    out = np.full(P, n_pad - 1, np.int32)
+    inn = np.full(P, n_pad - 1, np.int32)
+    kk = np.zeros(P, np.int32)
+    rows = np.full(P, -1, np.int32)
+    if n_spill:
+        order = np.argsort(t_of, kind="stable")
+        rank = np.arange(n_spill) - np.concatenate(
+            [[0], np.cumsum(counts)[:-1]])[t_of[order]]
+        slots = q0[t_of[order]] + rank
+        out[slots] = all_out[order]
+        inn[slots] = all_in[order]
+        kk[slots] = all_k[order]
+        rows[slots] = (all_out[order] - t_of[order] * tile).astype(np.int32)
     return WinGraph(
         r0=jnp.asarray(r0.astype(np.int32)),
         starts=jnp.asarray(starts), lidx=jnp.asarray(lidx),
         spill_out=jnp.asarray(out), spill_in=jnp.asarray(inn),
-        spill_k=jnp.asarray(kk), w_sub=int(w_sub), w_union=int(w_union),
+        spill_k=jnp.asarray(kk), spill_rows=jnp.asarray(rows),
+        sp_q0=jnp.asarray(q0c.astype(np.int32)),
+        sp_qn=jnp.asarray(np.stack([qa, qb], 1).astype(np.int32)),
+        w_sub=int(w_sub), w_union=int(w_union),
+        group=group, tile=tile, spill_q=int(spill_q),
     )
 
 
-def _kernel(r0_ref, starts_ref, lidx_ref, x_any, w_ref, *rest,
-            W, WU, n_pad, relu, out_dtype, has_scale, has_res):
+def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
+            has_res):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = 0
+    q0_ref = qn_ref = tab_ref = None
+    if SQ:
+        r0_ref, starts_ref, q0_ref, qn_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        r0_ref, starts_ref = refs[:2]
+        rest = refs[2:]
+    lidx_ref, x_any, w_ref = rest[:3]
+    i = 3
     scale_ref = shift_ref = res_ref = None
+    if SQ:
+        tab_ref = rest[i]
+        i += 1
     if has_scale:
         scale_ref, shift_ref = rest[i], rest[i + 1]
         i += 2
     if has_res:
         res_ref = rest[i]
         i += 1
-    valid_ref, o_ref, scratch, sems = rest[i], rest[i + 1], rest[i + 2], rest[i + 3]
+    valid_ref, o_ref = rest[i], rest[i + 1]
+    scratch, sems = rest[i + 2], rest[i + 3]
+    acc_sc = rest[i + 4] if SQ else None
 
     t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+    n_steps = pl.num_programs(0)
 
     def dma(slot, tt):
         r0 = pl.multiple_of(r0_ref[tt], 8)
@@ -164,38 +258,76 @@ def _kernel(r0_ref, starts_ref, lidx_ref, x_any, w_ref, *rest,
     def _():
         dma(0, 0).start()
 
-    @pl.when(t + 1 < n_tiles)
+    @pl.when(t + 1 < n_steps)
     def _():
         dma((t + 1) % 2, t + 1).start()
 
     dma(t % 2, t).wait()
     slot = t % 2
-    c0 = pl.multiple_of(t * T - pl.multiple_of(r0_ref[t], 8), 8)
-    xc = scratch.at[slot][pl.ds(c0, T), :]
-    acc = jnp.dot(xc, w_ref[13], preferred_element_type=jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-    for ki in range(26):
-        k = ki if ki < 13 else ki + 1
-        u = pl.multiple_of(starts_ref[t, ki], 8)
-        sub = scratch.at[slot][pl.ds(u, W), :]
-        li = lidx_ref[:, ki:ki + 1].astype(jnp.int32)        # (T, 1)
-        onehot = (li == iota).astype(sub.dtype)              # (T, W) exact 0/1
-        g = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(g.astype(sub.dtype), w_ref[k],
-                            preferred_element_type=jnp.float32)
-    y = acc
-    if has_scale:
-        y = y * scale_ref[0, :] + shift_ref[0, :]
-    if has_res:
-        y = y + res_ref[:].astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    y = y * valid_ref[:, 0][:, None].astype(jnp.float32)
-    o_ref[:] = y.astype(out_dtype)
+
+    # fori_loop (not an unrolled python loop) so Mosaic reuses the per-g
+    # select temporaries: unrolled G>1 overflows the 16M scoped-VMEM stack
+    def per_tile(g, _):
+        gT = pl.multiple_of(g * T, T)
+        c0 = pl.multiple_of(
+            (t * G + g) * T - pl.multiple_of(r0_ref[t], 8), 8)
+        xc = scratch.at[slot][pl.ds(c0, T), :]
+        acc = jnp.dot(xc, w_ref[13], preferred_element_type=jnp.float32)
+        for ki in range(26):
+            k = ki if ki < 13 else ki + 1
+            u = pl.multiple_of(starts_ref[t * G + g, ki], 8)
+            sub = scratch.at[slot][pl.ds(u, W), :]
+            li = lidx_ref[pl.ds(gT, T), ki:ki + 1].astype(jnp.int32)
+            onehot = (li == iota).astype(sub.dtype)          # (T, W) exact 0/1
+            sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(sel.astype(sub.dtype), w_ref[k],
+                                preferred_element_type=jnp.float32)
+        if SQ:
+            # spilled pairs: precomputed per-pair x[i]@w[k] values live in a
+            # COMPACT tile-sorted table (last column = out row rel tile
+            # start); fold tile g's segment in with one guarded transposed
+            # one-hot matmul so the nonlinear epilogue stays fused in-kernel
+            cout = o_ref.shape[-1]
+            ti = t * G + g
+            acc_sc[:] = acc
+
+            @pl.when(qn_ref[ti, 1] > 0)
+            def _():
+                q0 = pl.multiple_of(q0_ref[ti], 8)
+                tab = tab_ref[pl.ds(q0, SQ), :]              # (SQ, cout+1)
+                spv = tab[:, 0:cout]
+                rows = tab[:, cout:cout + 1]                 # (SQ, 1) f32
+                iq = jax.lax.broadcasted_iota(jnp.int32, (SQ, T), 0)
+                it = jax.lax.broadcasted_iota(jnp.int32, (SQ, T), 1)
+                inseg = (iq >= qn_ref[ti, 0]) & (iq < qn_ref[ti, 1])
+                ohT = jnp.where(inseg & (rows.astype(jnp.int32) == it),
+                                1.0, 0.0)
+                inj = jax.lax.dot_general(
+                    ohT, spv, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (T, cout)
+                acc_sc[:] = acc_sc[:] + inj
+
+            acc = acc_sc[:]
+        y = acc
+        if has_scale:
+            y = y * scale_ref[0, :] + shift_ref[0, :]
+        if has_res:
+            y = y + res_ref[pl.ds(gT, T), :].astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        y = y * valid_ref[pl.ds(gT, T), 0][:, None].astype(jnp.float32)
+        o_ref[pl.ds(gT, T), :] = y.astype(out_dtype)
+        return 0
+
+    if G == 1:
+        per_tile(0, 0)
+    else:
+        jax.lax.fori_loop(0, G, per_tile, 0)
 
 
 def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
-               scratch, sems, *, W, WU, n_pad):
+               scratch, sems, *, T, W, WU, G, n_pad):
     """dW[k] = sum_tiles select_k(window)^T @ gy_tile, accumulated in a
     VMEM-resident (26, cpad, cout) output across grid steps (same windowed
     selects as the forward; the center offset's dW is one big GEMM done in
@@ -204,7 +336,7 @@ def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+    n_steps = pl.num_programs(0)
 
     def dma(slot, tt):
         r0 = pl.multiple_of(r0_ref[tt], 8)
@@ -216,24 +348,33 @@ def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
         dma(0, 0).start()
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    @pl.when(t + 1 < n_tiles)
+    @pl.when(t + 1 < n_steps)
     def _():
         dma((t + 1) % 2, t + 1).start()
 
     dma(t % 2, t).wait()
     slot = t % 2
-    gy = gy_ref[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-    for ki in range(26):
-        u = pl.multiple_of(starts_ref[t, ki], 8)
-        sub = scratch.at[slot][pl.ds(u, W), :]
-        li = lidx_ref[:, ki:ki + 1].astype(jnp.int32)
-        onehot = (li == iota).astype(sub.dtype)
-        g = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
-        dwk = jax.lax.dot_general(
-            g.astype(sub.dtype), gy, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (cpad, cout)
-        o_ref[ki] = o_ref[ki] + dwk
+
+    def per_tile(g, _):
+        gT = pl.multiple_of(g * T, T)
+        gy = gy_ref[pl.ds(gT, T), :]
+        for ki in range(26):
+            u = pl.multiple_of(starts_ref[t * G + g, ki], 8)
+            sub = scratch.at[slot][pl.ds(u, W), :]
+            li = lidx_ref[pl.ds(gT, T), ki:ki + 1].astype(jnp.int32)
+            onehot = (li == iota).astype(sub.dtype)
+            sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
+            dwk = jax.lax.dot_general(
+                sel.astype(sub.dtype), gy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (cpad, cout)
+            o_ref[ki] = o_ref[ki] + dwk
+        return 0
+
+    if G == 1:
+        per_tile(0, 0)
+    else:
+        jax.lax.fori_loop(0, G, per_tile, 0)
 
 
 def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
@@ -245,8 +386,8 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
     from unscene3d_tpu.ops.csr_conv import fallback_active
 
     if jax.default_backend() == "cpu" or fallback_active():
-        tile_of = jnp.arange(n_pad) // T
-        base = jnp.take(wg.r0, tile_of)
+        tile_of = jnp.arange(n_pad) // wg.tile
+        base = jnp.take(wg.r0, tile_of // wg.group)
         dws = []
         for ki in range(26):
             li = wg.lidx[:, ki].astype(jnp.int32)
@@ -260,17 +401,17 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W, WU = wg.w_sub, wg.w_union
+    W, WU, G, Tt = wg.w_sub, wg.w_union, wg.group, wg.tile
     cpad = -(-cin // 128) * 128
     xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_pad // T,),
+        grid=(n_pad // (G * Tt),),
         in_specs=[
-            pl.BlockSpec((T, 26), lambda t, r, s: (t, 0),
+            pl.BlockSpec((G * Tt, 26), lambda t, r, s: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((T, cout), lambda t, r, s: (t, 0),
+            pl.BlockSpec((G * Tt, cout), lambda t, r, s: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((26, cpad, cout), lambda t, r, s: (0, 0, 0),
@@ -280,7 +421,8 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_dw_kernel, W=W, WU=WU, n_pad=n_pad)
+    kernel = functools.partial(_dw_kernel, T=Tt, W=W, WU=WU, G=G,
+                               n_pad=n_pad)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((26, cpad, cout), jnp.float32),
@@ -288,16 +430,22 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
     return out[:, :cin, :]
 
 
-def _spill_contrib(x, w, wg: WinGraph, n_pad, cout):
-    """Spilled pairs: gather + per-offset GEMM + deterministic segment-sum.
-    Sentinel pairs read the zero padding row and land on it too."""
+def _spill_values(x, w, wg: WinGraph, cout):
+    """Per spilled pair p: x[in_p] @ w[k_p] -> (P_s, cout) f32. Sentinel
+    pairs read the zero padding row and contribute zero."""
     xs = jnp.take(x, wg.spill_in, axis=0)                    # (P_s, Cin)
     acc = jnp.zeros((xs.shape[0], cout), jnp.float32)
     for k in range(27):
         m = (wg.spill_k == k)
         xk = xs * m[:, None].astype(xs.dtype)
         acc = acc + jnp.dot(xk, w[k], preferred_element_type=jnp.float32)
-    return jax.ops.segment_sum(acc, wg.spill_out, num_segments=n_pad)
+    return acc
+
+
+def _spill_contrib(x, w, wg: WinGraph, n_pad, cout):
+    """Spilled pairs as a dense (n_pad, cout) addend (XLA fallback path)."""
+    return jax.ops.segment_sum(_spill_values(x, w, wg, cout), wg.spill_out,
+                               num_segments=n_pad)
 
 
 def _xla_reference(x, w, wg: WinGraph, valid, bias, scale, shift, residual,
@@ -305,8 +453,8 @@ def _xla_reference(x, w, wg: WinGraph, valid, bias, scale, shift, residual,
     """Pure-XLA equivalent (CPU tests / interpret-free fallback): reconstruct
     absolute neighbor rows from the window tables and gather."""
     n_pad, cin = x.shape
-    tile_of = jnp.arange(n_pad) // T
-    base = jnp.take(wg.r0, tile_of)  # (n_pad,)
+    tile_of = jnp.arange(n_pad) // wg.tile
+    base = jnp.take(wg.r0, tile_of // wg.group)  # (n_pad,)
     acc = jnp.dot(x, w[13], preferred_element_type=jnp.float32)
     for ki in range(26):
         k = ki if ki < 13 else ki + 1
@@ -316,7 +464,8 @@ def _xla_reference(x, w, wg: WinGraph, valid, bias, scale, shift, residual,
         g = jnp.take(x, rows, axis=0)
         g = g * (li >= 0)[:, None].astype(x.dtype)
         acc = acc + jnp.dot(g, w[k], preferred_element_type=jnp.float32)
-    acc = acc + _spill_contrib(x, w, wg, n_pad, w.shape[-1])
+    if wg.spill_q:
+        acc = acc + _spill_contrib(x, w, wg, n_pad, w.shape[-1])
     return _epilogue(acc, valid, bias, scale, shift, residual, relu, x.dtype)
 
 
@@ -345,7 +494,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     ReLU, validity mask. Returns (N_pad, Cout)."""
     n_pad, cin = x.shape
     cout = w.shape[-1]
-    assert n_pad % T == 0
+    assert n_pad % wg.tile == 0
     from unscene3d_tpu.ops.csr_conv import fallback_active
 
     if jax.default_backend() == "cpu" or fallback_active():
@@ -358,7 +507,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W, WU = wg.w_sub, wg.w_union
+    W, WU, G, Tt = wg.w_sub, wg.w_union, wg.group, wg.tile
     wk = w.astype(x.dtype)
     if bias is not None:
         # fold bias into shift (or create a unit scale-shift)
@@ -368,15 +517,11 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
             scale = jnp.ones((cout,), jnp.float32)
             shift = bias.astype(jnp.float32)
     has_scale = scale is not None
-    # spilled pairs must fold in BEFORE the nonlinear epilogue steps, so
-    # with a nonempty spill bucket residual/ReLU/mask run in XLA after the
-    # spill add (scale/shift stay fused: (acc+sp)*scale+shift ==
-    # acc*scale+shift + sp*scale). XLA fuses the tail into one elementwise
-    # pass, so this costs one extra (N, Cout) stream only on spilling plans.
-    spilling = int(wg.num_spill_padded) > 0
-    fuse_res = residual if not spilling else None
-    fuse_relu = relu and not spilling
-    has_res = fuse_res is not None
+    # spilled pairs fold in BEFORE the epilogue via tile-major per-pair
+    # values injected in-kernel (one tiny (T, SQ) one-hot matmul per tile),
+    # so the full epilogue always stays fused
+    SQ = int(wg.spill_q)
+    has_res = residual is not None
 
     # Mosaic requires DMA'd slices to be 128-lane aligned: pad channels for
     # the window source (the union DMA is per-TILE, so the padding overhead
@@ -386,56 +531,55 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     wp = wk if cpad == cin else jnp.pad(wk, ((0, 0), (0, cpad - cin), (0, 0)))
 
     in_specs = [
-        pl.BlockSpec((T, 26), lambda t, r, s: (t, 0),
+        pl.BlockSpec((G * Tt, 26), lambda t, *_: (t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     args = [wg.lidx, xp, wp]
+    if SQ:
+        # compact spill table: per-pair x[in]@w[k] values with the pair's
+        # tile-local out row as a trailing f32 column
+        spv = _spill_values(x, wk, wg, cout)
+        rows_f = wg.spill_rows.astype(jnp.float32)[:, None]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.concatenate([spv, rows_f], axis=1))
     if has_scale:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
                      pl.BlockSpec(memory_space=pltpu.VMEM)]
         args += [scale.astype(jnp.float32).reshape(1, cout),
                  shift.astype(jnp.float32).reshape(1, cout)]
     if has_res:
-        in_specs.append(pl.BlockSpec((T, cout), lambda t, r, s: (t, 0),
+        in_specs.append(pl.BlockSpec((G * Tt, cout), lambda t, *_: (t, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(fuse_res)
-    in_specs.append(pl.BlockSpec((T, 1), lambda t, r, s: (t, 0),
+        args.append(residual)
+    in_specs.append(pl.BlockSpec((G * Tt, 1), lambda t, *_: (t, 0),
                                  memory_space=pltpu.VMEM))
     args.append(valid.astype(jnp.int8)[:, None])
 
+    scratch_shapes = [
+        pltpu.VMEM((2, WU, cpad), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    prefetch = [wg.r0, wg.starts]
+    if SQ:
+        prefetch += [wg.sp_q0, wg.sp_qn]
+        scratch_shapes.append(pltpu.VMEM((Tt, cout), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_pad // T,),
+        num_scalar_prefetch=len(prefetch),
+        grid=(n_pad // (G * Tt),),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, cout), lambda t, r, s: (t, 0),
+        out_specs=pl.BlockSpec((G * Tt, cout), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, WU, cpad), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
-        _kernel, W=W, WU=WU, n_pad=n_pad, relu=fuse_relu, out_dtype=x.dtype,
-        has_scale=has_scale, has_res=has_res)
-    out = pl.pallas_call(
+        _kernel, T=Tt, W=W, WU=WU, G=G, SQ=SQ, n_pad=n_pad, relu=relu,
+        out_dtype=x.dtype, has_scale=has_scale, has_res=has_res)
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, cout), x.dtype),
-    )(wg.r0, wg.starts, *args)
-
-    if spilling:
-        y = out.astype(jnp.float32)
-        sp = _spill_contrib(x, wk, wg, n_pad, cout)
-        if has_scale:
-            sp = sp * scale
-        y = y + sp
-        if residual is not None:
-            y = y + residual.astype(jnp.float32)
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        out = (y * valid[:, None].astype(jnp.float32)).astype(x.dtype)
-    return out
+    )(*prefetch, *args)
 
 
 @jax.custom_vjp
