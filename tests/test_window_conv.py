@@ -37,12 +37,12 @@ def test_tables_reconstruct_neighbors(level_pair):
     lidx = np.asarray(wg.lidx)
     starts = np.asarray(wg.starts)
     r0 = np.asarray(wg.r0)
-    tile_of = np.arange(n_pad) // 256
+    tile_of = np.arange(n_pad) // wg.tile
     recon = {}
     ks = [k for k in range(27) if k != 13]
     for ki, k in enumerate(ks):
         li = lidx[:, ki].astype(np.int64)
-        rows = r0[tile_of // wg.group] + starts[tile_of, ki] + li
+        rows = r0[tile_of // wg.group] + starts[tile_of, k // 9] + li
         got = np.where(li >= 0, rows, n_pad - 1)
         recon[k] = got
     # spilled pairs fill in the rest

@@ -122,7 +122,7 @@ class FreeMaskCollator:
                  win_levels: tuple = (),
                  win_group: int = 8,
                  win_tile: int = 256,
-                 win_w_sub: int = 384,
+                 win_w_sub: int | tuple = 384,
                  small_crops: bool = False,
                  very_small_crops: bool = False):
         self.voxel_size = voxel_size
@@ -149,7 +149,10 @@ class FreeMaskCollator:
         # amplification; G=8 divides it by ~6 on the bench scene)
         self.win_group = int(win_group)
         self.win_tile = int(win_tile)
-        self.win_w_sub = int(win_w_sub)
+        # one width or per-region (W_own, W_dx) sub-window widths
+        self.win_w_sub = (tuple(win_w_sub)
+                          if isinstance(win_w_sub, (tuple, list))
+                          else int(win_w_sub))
         # reference VoxelizeCollate small_crops / very_small_crops
         # (datasets/utils.py:37-45): quadrant-split scenes once or twice
         self.small_crops = bool(small_crops)

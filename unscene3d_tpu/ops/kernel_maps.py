@@ -188,7 +188,7 @@ def build_sparse_graph(
     win_spills: list | None = None,
     win_spills_down: list | None = None,
     win_spills_up: list | None = None,
-    win_w_sub: int = 384,
+    win_w_sub: int | tuple = 384,
     win_w_union: int = 4096,
     win_group: int = 8,
     win_tile: int = 256,
@@ -279,7 +279,8 @@ def build_sparse_graph(
                 g //= 2
             lvl = lvl.replace(win=build_win_graph(
                 np.asarray(lvl.nbr_idx), pads[li],
-                w_sub=min(win_w_sub, pads[li]),
+                w_sub=win_w_sub,     # int or per-region (W_own, W_dx);
+                #                      build_win_graph clamps to the pad
                 w_union=win_w_union + (g - 1) * win_tile,
                 # plan value is (compact table rows, per-tile slice len)
                 spill_plan=_win_spill_plan(win_spills[li])

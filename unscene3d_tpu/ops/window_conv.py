@@ -53,9 +53,15 @@ class WinGraph:
     spills."""
 
     r0: jnp.ndarray          # (n_super,) int32 union-window start row
-    starts: jnp.ndarray      # (n_tiles, 26) int32 sub-window start rel to r0
-    lidx: jnp.ndarray        # (n_pad, 26) int16 neighbor idx rel to
-    #                          sub-window start; -1 = no neighbor / spilled
+    starts: jnp.ndarray      # (n_tiles, 3) int32 REGION window start rel to
+    #                          r0; region = offset dx+1 = k//9 (dx=-1 slice,
+    #                          own rows, dx=+1 slice). Offsets within a
+    #                          region share one sub-window slice -- 3 SMEM
+    #                          scalars + 3 dynamic slices per tile instead
+    #                          of 26 (26 per-offset starts at tile=128
+    #                          overflow the 1M SMEM scalar budget)
+    lidx: jnp.ndarray        # (n_pad, 26) int16 neighbor idx rel to the
+    #                          offset's REGION start; -1 = missing / spilled
     spill_out: jnp.ndarray   # (P8,) int32 out row (sentinel n_pad-1)
     spill_in: jnp.ndarray    # (P8,) int32 in row (sentinel n_pad-1)
     spill_k: jnp.ndarray     # (P8,) int32 offset id in [0, 27)
@@ -64,6 +70,9 @@ class WinGraph:
     #                          kernel slice start
     sp_qn: jnp.ndarray       # (n_tiles, 2) int32 [qa, qb): tile's own pair
     #                          range RELATIVE to the sp_q0 slice
+    w_subs: tuple = struct.field(pytree_node=False, default=())
+    #                          ^ per-region widths (W_dx-, W_own, W_dx+);
+    #                            empty = uniform w_sub for all three
     w_sub: int = struct.field(pytree_node=False, default=512)
     w_union: int = struct.field(pytree_node=False, default=2304)
     group: int = struct.field(pytree_node=False, default=1)
@@ -98,27 +107,42 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
     Requires n_pad % (G*tile) == 0; w_union must additionally cover the
     extra (G-1)*tile rows of in-group drift.
 
-    tile=128 makes the per-offset windows ~2.4x tighter than tile=256
-    (w_sub 160 covers 99.6% of pairs vs 384; selects are the kernel's
-    dominant MXU cost, proportional to w_sub)."""
+    tile=256 with a uniform w_sub=384 is the measured optimum on the dev
+    chip: tile=128 + per-region widths (192, 288) cuts select FLOPs 1.5x
+    but LOSES end-to-end (8.7 vs 7.9 ms on the L0 A/B, benchmarks notes in
+    docs/DESIGN.md) to per-matmul and loop overheads, and per-offset
+    starts at tile=128 overflow SMEM -- hence the 3-region start layout."""
     nbr_idx = np.asarray(nbr_idx)
     assert nbr_idx.shape[0] == 27 and nbr_idx.shape[1] == n_pad
     group, tile = int(group), int(tile)
+    ks = [k for k in range(27) if k != 13]
+    # w_sub may be one width or per-region widths (W_own, W_dx): offsets
+    # share a window per dx class (region = k//9: dx=-1 slice / own rows /
+    # dx=+1 slice). The window floor is ~tile + sort-order drift; the own
+    # region's drift is small (dy/dz steps) while the dx regions span one
+    # x-slice's occupancy spread, so (192, 288) at tile=128 cuts the select
+    # matmul FLOPs ~1.5x vs a uniform 384 at tile=256
+    if isinstance(w_sub, (tuple, list)):
+        wo, wx = (min(int(v), n_pad) for v in w_sub[:2])
+        w_reg = (wx, wo, wx)
+    else:
+        w = min(int(w_sub), n_pad)
+        w_reg = (w, w, w)
     w_union = min(int(w_union), n_pad)
-    assert n_pad % (tile * group) == 0 and n_pad >= w_union >= w_sub
+    assert n_pad % (tile * group) == 0 and n_pad >= w_union >= max(w_reg)
     # all r0 clip bounds below are multiples of 8 iff w_union/w_sub are, so
     # the final align-down is a no-op and cannot push the union off the
     # supertile's own rows (the center offset streams from the union)
-    assert w_union % 8 == 0 and w_sub % 8 == 0 and tile % 8 == 0
+    assert w_union % 8 == 0 and tile % 8 == 0
+    assert all(w % 8 == 0 for w in w_reg)
     n_tiles = n_pad // tile
     n_super = n_tiles // group
     tile_of = np.arange(n_pad) // tile
     super_of_tile = np.arange(n_tiles) // group
 
-    ks = [k for k in range(27) if k != 13]
     BIG = np.int64(1 << 40)
-    # per (tile, offset) aligned window starts, then the union start
-    lo_k = np.empty((26, n_tiles), np.int64)
+    # per (tile, region) aligned window starts, then the union start
+    lo_reg = np.full((3, n_tiles), BIG, np.int64)
     valid_k = []
     for ki, k in enumerate(ks):
         idx = nbr_idx[k].astype(np.int64)
@@ -126,9 +150,10 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         valid_k.append(valid)
         per_tile = np.where(valid, idx, BIG).reshape(n_tiles, tile)
         lo = per_tile.min(axis=1)
-        lo_k[ki] = np.where(lo == BIG, BIG, lo & ~7)          # align 8
+        r = k // 9
+        lo_reg[r] = np.minimum(lo_reg[r], np.where(lo == BIG, BIG, lo & ~7))
     tstart = np.arange(n_tiles, dtype=np.int64) * tile
-    r0_tile = lo_k.min(axis=0)
+    r0_tile = lo_reg.min(axis=0)
     r0_tile = np.where(r0_tile == BIG, tstart, r0_tile)
     # union start per SUPER tile (group of G tiles): low enough for every
     # member tile's offsets, high enough that the last member's own rows
@@ -141,17 +166,21 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
     r0 = np.clip(r0, 0, n_pad - w_union) & ~7
 
     r0_of_tile = r0[super_of_tile]
-    starts = np.zeros((n_tiles, 26), np.int32)
+    starts = np.zeros((n_tiles, 3), np.int32)
+    lo_of = np.empty((3, n_tiles), np.int64)
+    for r in range(3):
+        lo = np.where(lo_reg[r] == BIG, r0_of_tile, lo_reg[r])
+        lo = np.clip(lo, r0_of_tile, r0_of_tile + w_union - w_reg[r])
+        starts[:, r] = (lo - r0_of_tile).astype(np.int32)
+        lo_of[r] = lo
     lidx = np.full((n_pad, 26), -1, np.int16)
     sp_out, sp_in, sp_k = [], [], []
     for ki, k in enumerate(ks):
         idx = nbr_idx[k].astype(np.int64)
         valid = valid_k[ki]
-        lo = np.where(lo_k[ki] == BIG, r0_of_tile, lo_k[ki])
-        lo = np.clip(lo, r0_of_tile, r0_of_tile + w_union - w_sub)
-        starts[:, ki] = (lo - r0_of_tile).astype(np.int32)
-        rel = idx - lo[tile_of]
-        ok = valid & (rel >= 0) & (rel < w_sub)
+        r = k // 9
+        rel = idx - lo_of[r][tile_of]
+        ok = valid & (rel >= 0) & (rel < w_reg[r])
         lidx[ok, ki] = rel[ok].astype(np.int16)
         bad = valid & ~ok
         if bad.any():
@@ -212,12 +241,13 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         spill_k=jnp.asarray(kk), spill_rows=jnp.asarray(rows),
         sp_q0=jnp.asarray(q0c.astype(np.int32)),
         sp_qn=jnp.asarray(np.stack([qa, qb], 1).astype(np.int32)),
-        w_sub=int(w_sub), w_union=int(w_union),
+        w_subs=tuple(int(w) for w in w_reg),
+        w_sub=int(max(w_reg)), w_union=int(w_union),
         group=group, tile=tile, spill_q=int(spill_q),
     )
 
 
-def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
+def _kernel(*refs, T, WS, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
             has_res):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -264,7 +294,7 @@ def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
 
     dma(t % 2, t).wait()
     slot = t % 2
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    iotas = [jax.lax.broadcasted_iota(jnp.int32, (T, w), 1) for w in WS]
 
     # fori_loop (not an unrolled python loop) so Mosaic reuses the per-g
     # select temporaries: unrolled G>1 overflows the 16M scoped-VMEM stack
@@ -274,12 +304,16 @@ def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
             (t * G + g) * T - pl.multiple_of(r0_ref[t], 8), 8)
         xc = scratch.at[slot][pl.ds(c0, T), :]
         acc = jnp.dot(xc, w_ref[13], preferred_element_type=jnp.float32)
+        # one sub-window slice per dx region, shared by its 8-9 offsets
+        subs = []
+        for r in range(3):
+            u = pl.multiple_of(starts_ref[(t * G + g) * 3 + r], 8)
+            subs.append(scratch.at[slot][pl.ds(u, WS[r]), :])
         for ki in range(26):
             k = ki if ki < 13 else ki + 1
-            u = pl.multiple_of(starts_ref[t * G + g, ki], 8)
-            sub = scratch.at[slot][pl.ds(u, W), :]
+            sub = subs[k // 9]
             li = lidx_ref[pl.ds(gT, T), ki:ki + 1].astype(jnp.int32)
-            onehot = (li == iota).astype(sub.dtype)          # (T, W) exact 0/1
+            onehot = (li == iotas[k // 9]).astype(sub.dtype)   # exact 0/1
             sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
             acc = acc + jnp.dot(sel.astype(sub.dtype), w_ref[k],
                                 preferred_element_type=jnp.float32)
@@ -292,7 +326,7 @@ def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
             ti = t * G + g
             acc_sc[:] = acc
 
-            @pl.when(qn_ref[ti, 1] > 0)
+            @pl.when(qn_ref[2 * ti + 1] > 0)
             def _():
                 q0 = pl.multiple_of(q0_ref[ti], 8)
                 tab = tab_ref[pl.ds(q0, SQ), :]              # (SQ, cout+1)
@@ -300,7 +334,8 @@ def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
                 rows = tab[:, cout:cout + 1]                 # (SQ, 1) f32
                 iq = jax.lax.broadcasted_iota(jnp.int32, (SQ, T), 0)
                 it = jax.lax.broadcasted_iota(jnp.int32, (SQ, T), 1)
-                inseg = (iq >= qn_ref[ti, 0]) & (iq < qn_ref[ti, 1])
+                inseg = ((iq >= qn_ref[2 * ti]) &
+                         (iq < qn_ref[2 * ti + 1]))
                 ohT = jnp.where(inseg & (rows.astype(jnp.int32) == it),
                                 1.0, 0.0)
                 inj = jax.lax.dot_general(
@@ -327,7 +362,7 @@ def _kernel(*refs, T, W, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
 
 
 def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
-               scratch, sems, *, T, W, WU, G, n_pad):
+               scratch, sems, *, T, WS, WU, G, n_pad):
     """dW[k] = sum_tiles select_k(window)^T @ gy_tile, accumulated in a
     VMEM-resident (26, cpad, cout) output across grid steps (same windowed
     selects as the forward; the center offset's dW is one big GEMM done in
@@ -354,16 +389,20 @@ def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
 
     dma(t % 2, t).wait()
     slot = t % 2
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    iotas = [jax.lax.broadcasted_iota(jnp.int32, (T, w), 1) for w in WS]
 
     def per_tile(g, _):
         gT = pl.multiple_of(g * T, T)
         gy = gy_ref[pl.ds(gT, T), :]
+        subs = []
+        for r in range(3):
+            u = pl.multiple_of(starts_ref[(t * G + g) * 3 + r], 8)
+            subs.append(scratch.at[slot][pl.ds(u, WS[r]), :])
         for ki in range(26):
-            u = pl.multiple_of(starts_ref[t * G + g, ki], 8)
-            sub = scratch.at[slot][pl.ds(u, W), :]
+            k = ki if ki < 13 else ki + 1
+            sub = subs[k // 9]
             li = lidx_ref[pl.ds(gT, T), ki:ki + 1].astype(jnp.int32)
-            onehot = (li == iota).astype(sub.dtype)
+            onehot = (li == iotas[k // 9]).astype(sub.dtype)
             sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
             dwk = jax.lax.dot_general(
                 sel.astype(sub.dtype), gy, (((0,), (0,)), ((), ())),
@@ -390,8 +429,9 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
         base = jnp.take(wg.r0, tile_of // wg.group)
         dws = []
         for ki in range(26):
+            k = ki if ki < 13 else ki + 1
             li = wg.lidx[:, ki].astype(jnp.int32)
-            rows = base + jnp.take(wg.starts[:, ki], tile_of) + li
+            rows = base + jnp.take(wg.starts[:, k // 9], tile_of) + li
             rows = jnp.where(li >= 0, rows, n_pad - 1)
             gk = jnp.take(x, rows, axis=0) * (li >= 0)[:, None].astype(x.dtype)
             dws.append(jnp.einsum("nc,nd->cd", gk.astype(jnp.float32),
@@ -401,7 +441,8 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W, WU, G, Tt = wg.w_sub, wg.w_union, wg.group, wg.tile
+    WU, G, Tt = wg.w_union, wg.group, wg.tile
+    WS = wg.w_subs or (wg.w_sub,) * 3
     cpad = -(-cin // 128) * 128
     xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -421,7 +462,7 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_dw_kernel, T=Tt, W=W, WU=WU, G=G,
+    kernel = functools.partial(_dw_kernel, T=Tt, WS=WS, WU=WU, G=G,
                                n_pad=n_pad)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -459,7 +500,7 @@ def _xla_reference(x, w, wg: WinGraph, valid, bias, scale, shift, residual,
     for ki in range(26):
         k = ki if ki < 13 else ki + 1
         li = wg.lidx[:, ki].astype(jnp.int32)
-        rows = base + jnp.take(wg.starts[:, ki], tile_of) + li
+        rows = base + jnp.take(wg.starts[:, k // 9], tile_of) + li
         rows = jnp.where(li >= 0, rows, n_pad - 1)
         g = jnp.take(x, rows, axis=0)
         g = g * (li >= 0)[:, None].astype(x.dtype)
@@ -507,7 +548,8 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W, WU, G, Tt = wg.w_sub, wg.w_union, wg.group, wg.tile
+    WU, G, Tt = wg.w_union, wg.group, wg.tile
+    WS = wg.w_subs or (wg.w_sub,) * 3
     wk = w.astype(x.dtype)
     if bias is not None:
         # fold bias into shift (or create a unit scale-shift)
@@ -561,9 +603,11 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
         pltpu.VMEM((2, WU, cpad), x.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    prefetch = [wg.r0, wg.starts]
+    # scalar-prefetch arrays must be 1-D: Mosaic lays 2-D SMEM arrays out
+    # with heavy minor-dim padding, which overflows the 1M SMEM budget
+    prefetch = [wg.r0, wg.starts.reshape(-1)]
     if SQ:
-        prefetch += [wg.sp_q0, wg.sp_qn]
+        prefetch += [wg.sp_q0, wg.sp_qn.reshape(-1)]
         scratch_shapes.append(pltpu.VMEM((Tt, cout), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -574,7 +618,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
         scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
-        _kernel, T=Tt, W=W, WU=WU, G=G, SQ=SQ, n_pad=n_pad, relu=relu,
+        _kernel, T=Tt, WS=WS, WU=WU, G=G, SQ=SQ, n_pad=n_pad, relu=relu,
         out_dtype=x.dtype, has_scale=has_scale, has_res=has_res)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,

@@ -161,7 +161,7 @@ def _kernel_k(r0_ref, starts_ref, lidx_ref, x_any, *rest,
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
     acc = None
     for k in range(K):
-        u = pl.multiple_of(starts_ref[t, k], 8)
+        u = pl.multiple_of(starts_ref[t * K + k], 8)
         sub = scratch.at[slot][pl.ds(u, W), :]
         li = lidx_ref[:, k:k + 1].astype(jnp.int32)
         onehot = (li == iota).astype(sub.dtype)
@@ -266,7 +266,7 @@ def window_k_apply(x: jnp.ndarray, w: jnp.ndarray | None, wt: WinTables,
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad, out_w), x.dtype),
-    )(wt.r0, wt.starts, *args)
+    )(wt.r0, wt.starts.reshape(-1), *args)
     if not has_w and cpad != cin:
         out = out[:, :cin]
 
