@@ -65,7 +65,8 @@ def bench_inference():
     scene = make_scene(num_points=250_000, num_objects=12, extent=8.0, seed=0)
     t_host0 = time.perf_counter()
     batch, meta = FreeMaskCollator(voxel_size=0.02, fine_buckets=True,
-                               win_levels=(0, 1, 2, 3, 4))([scene])
+                               win_levels=(0, 1, 2, 3, 4),
+                               fps_queries=model.num_queries)([scene])
     host_collate_s = time.perf_counter() - t_host0
     n_vox = meta.num_voxels[0]
     n_pad = batch.graph.levels[0].num_padded

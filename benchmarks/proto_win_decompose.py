@@ -60,7 +60,8 @@ def make_kernel(variant, W, WU, G, out_dtype):
                          == iota).astype(x_any.dtype)
                 for ki in range(26):
                     k = ki if ki < 13 else ki + 1
-                    u = pl.multiple_of(starts_ref[t * G + g, ki], 8)
+                    u = pl.multiple_of(
+                        starts_ref[(t * G + g) * 3 + k // 9], 8)
                     sub = scratch.at[slot][pl.ds(u, W), :]
                     if variant == "no_select":
                         sel = sub[0:T, :].astype(jnp.float32)
@@ -116,7 +117,7 @@ def main():
     x = jnp.asarray(rng.randn(n_pad, cin), jnp.bfloat16)
     w = jnp.asarray(rng.randn(27, cin, cout) * 0.05, jnp.bfloat16)
     r0 = jnp.asarray(wg.r0)
-    starts = jnp.asarray(wg.starts)
+    starts = jnp.asarray(wg.starts).reshape(-1)
     lidx = jnp.asarray(wg.lidx)
 
     K = 8

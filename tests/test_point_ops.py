@@ -81,3 +81,38 @@ def test_matrix_nms_suppresses_duplicates():
     assert out[0] == scores[0]          # top mask untouched
     assert out[1] < 0.15                # duplicate crushed
     assert out[2] > 0.65                # disjoint mask kept
+
+
+def test_fps_host_precompute_matches_device():
+    """collate.fps_numpy (host seeds) is bit-identical to the jit FPS loop."""
+    import numpy as np
+    from unscene3d_tpu.data.collate import fps_numpy
+    from unscene3d_tpu.ops.fps import furthest_point_sample
+
+    rng = np.random.RandomState(0)
+    xyz = rng.randint(0, 400, size=(5000, 3)).astype(np.float32)
+    valid = np.ones(5000, bool)
+    valid[4200:] = False
+    host = fps_numpy(xyz, valid, 64)
+    dev = np.asarray(furthest_point_sample(jnp.asarray(xyz),
+                                           jnp.asarray(valid), 64))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_collator_fps_idx_matches_model_path():
+    """Collator-emitted fps_idx equals the in-model device FPS inputs."""
+    import numpy as np
+    from unscene3d_tpu.data.collate import FreeMaskCollator
+    from unscene3d_tpu.data.synthetic import make_scene
+    from unscene3d_tpu.ops.fps import furthest_point_sample_batch
+
+    scenes = [make_scene(num_points=6_000, num_objects=3, extent=3.0, seed=s)
+              for s in (0, 1)]
+    batch, _ = FreeMaskCollator(voxel_size=0.02, fps_queries=16)(scenes)
+    assert batch.fps_idx.shape == (2, 16)
+    L0 = batch.graph.levels[0]
+    vox_xyz = jnp.take(jnp.asarray(L0.coords[:, 1:], jnp.float32),
+                       jnp.asarray(batch.scene_idx[0]), axis=0)
+    dev = furthest_point_sample_batch(vox_xyz,
+                                      jnp.asarray(batch.scene_valid[0]), 16)
+    np.testing.assert_array_equal(np.asarray(batch.fps_idx), np.asarray(dev))

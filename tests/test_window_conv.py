@@ -180,6 +180,44 @@ def test_window_conv_grouped(level_pair):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_window_conv_spill_plan_roundtrip():
+    """Tables built under a LARGER spill plan (as a master pad plan from a
+    spillier batch would impose) stay numerically identical, and the plan
+    recorded by the collator re-collates to the same static shapes."""
+    scene = make_scene(num_points=8_000, num_objects=3, extent=3.0, seed=5)
+    batch, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    level = batch.graph.levels[0]
+    n_pad = level.num_padded
+    nbr = np.asarray(level.nbr_idx)
+    base = build_win_graph(nbr, n_pad, w_sub=min(512, n_pad),
+                           w_union=min(512, n_pad))
+    assert base.spill_q > 0
+    planned = build_win_graph(
+        nbr, n_pad, w_sub=min(512, n_pad), w_union=min(512, n_pad),
+        spill_plan=(base.num_spill_padded + 256, base.spill_q + 64))
+    assert planned.num_spill_padded >= base.num_spill_padded + 256
+    assert planned.spill_q == base.spill_q + 64
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(n_pad, 8), jnp.float32)
+    x = x * level.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, 8, 8) * 0.1, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(window_conv3(x, w, planned, level.valid)),
+        np.asarray(window_conv3(x, w, base, level.valid)), rtol=1e-5)
+
+    # collator plan round-trip: re-collating under the recorded plan
+    # reproduces identical spill-table shapes (required for jit stability)
+    coll = FreeMaskCollator(voxel_size=0.02, win_levels=(0, 1), win_group=1)
+    b1, _ = coll([scene])
+    plan = FreeMaskCollator.pad_plan(b1)
+    merged = FreeMaskCollator.merge_pad_plans([plan, plan])
+    b2, _ = coll([scene], pads=merged)
+    for l1, l2 in zip(b1.graph.levels, b2.graph.levels):
+        if l1.win is not None:
+            assert l2.win.spill_out.shape == l1.win.spill_out.shape
+            assert l2.win.spill_q == l1.win.spill_q
+
+
 # ------------------------------------------------- K-offset window tables
 def test_window_k2_down_up_pool():
     """Windowed k2s2 down conv / transposed conv / avg-pool equal the gather

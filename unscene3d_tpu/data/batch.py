@@ -51,6 +51,20 @@ class SceneBatch:
     scene_valid: tuple           # tuple of (B, n_max_l) bool
     target: Targets | None = None
     triplane: Any = None         # TriplaneMaps, when the noise-robust loss is on
+    level_bounds: Any = None     # (B, 5, 2, 3) f32 host-precomputed per-scene
+    #                              [min, max] of the avg-pool2 coordinate
+    #                              pyramid per level (pos-enc normalization;
+    #                              bitwise-replicates conv_ops.avg_pool2, so
+    #                              the ~7ms of XLA segment-min/max scatters
+    #                              leave the device forward)
+    seg_counts: Any = None       # (B*S,) f32 per-segment voxel counts
+    #                              (denominator of the segment mean-pool)
+    fps_idx: Any = None          # (B, Q) int32 host-precomputed FPS query
+    #                              seeds over each scene's L0 voxels (same
+    #                              iterative-argmax algorithm as ops/fps.py;
+    #                              FPS depends only on coordinates, so doing
+    #                              it in the collate worker removes a ~13ms
+    #                              O(Q*N) device loop from the eval forward)
 
     @property
     def batch_size(self) -> int:

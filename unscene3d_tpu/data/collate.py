@@ -50,6 +50,50 @@ class CollateMeta:
     original_segments: list   # (P_b,) consecutive full-res segment ids
 
 
+def fps_numpy(xyz: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
+    """Iterative-argmax furthest point sampling, numerically identical to
+    ops/fps.py::furthest_point_sample (start at 0, f32 distances, first-max
+    tie breaking) so host-precomputed seeds equal the device loop's."""
+    n = len(xyz)
+    xyz = np.asarray(xyz, np.float32)
+    mask_bias = np.where(valid, np.float32(0), -np.inf).astype(np.float32)
+    dist = np.full(n, np.inf, np.float32)
+    idxs = np.zeros(k, np.int32)
+    for i in range(1, k):
+        d = np.sum(np.square(xyz - xyz[idxs[i - 1]]), axis=-1, dtype=np.float32)
+        dist = np.minimum(dist, d)
+        idxs[i] = np.argmax(dist + mask_bias)
+    return idxs
+
+
+def _host_coord_pyramid_bounds(graph, raw_coords: np.ndarray, B: int
+                               ) -> np.ndarray:
+    """Per-scene [min, max] of the avg-pool2 coordinate pyramid, (B,5,2,3).
+
+    Replicates conv_ops.avg_pool2 bitwise (per-offset child sums in offset
+    order, f32) so the model can skip its device segment-min/max ops."""
+    bounds = np.zeros((B, len(graph.levels), 2, 3), np.float32)
+    c = np.asarray(raw_coords, np.float32)
+    for lv, lvl in enumerate(graph.levels):
+        if lv > 0:
+            child_idx = np.asarray(lvl.child_idx)
+            child_valid = np.asarray(lvl.child_valid)
+            s = np.zeros((lvl.num_padded, 3), np.float32)
+            for k in range(8):
+                s = s + np.where(child_valid[k][:, None], c[child_idx[k]], 0.0)
+            cnt = child_valid.sum(axis=0).astype(np.float32)
+            c = s / np.maximum(cnt, 1.0)[:, None]
+            c = c * np.asarray(lvl.valid)[:, None]
+        bidx = np.asarray(lvl.coords[:, 0])
+        valid = np.asarray(lvl.valid)
+        for b in range(B):
+            m = (bidx == b) & valid
+            if m.any():
+                bounds[b, lv, 0] = c[m].min(axis=0)
+                bounds[b, lv, 1] = c[m].max(axis=0)
+    return bounds
+
+
 def _relabel(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     uniq, inv = np.unique(ids, return_inverse=True)
     return inv.astype(np.int32), uniq
@@ -124,7 +168,8 @@ class FreeMaskCollator:
                  win_tile: int = 256,
                  win_w_sub: int | tuple = 384,
                  small_crops: bool = False,
-                 very_small_crops: bool = False):
+                 very_small_crops: bool = False,
+                 fps_queries: int = 0):
         self.voxel_size = voxel_size
         self.num_levels = num_levels
         self.target_align = target_align
@@ -157,6 +202,9 @@ class FreeMaskCollator:
         # (datasets/utils.py:37-45): quadrant-split scenes once or twice
         self.small_crops = bool(small_crops)
         self.very_small_crops = bool(very_small_crops)
+        # when set (= model num_queries), precompute per-scene FPS query
+        # seeds on the host; the model skips its device FPS loop
+        self.fps_queries = int(fps_queries)
 
     def __call__(self, scenes: list[dict], pads: dict | None = None
                  ) -> tuple[SceneBatch, CollateMeta]:
@@ -253,6 +301,20 @@ class FreeMaskCollator:
             scene_idx.append(idx_tbl)
             scene_valid.append(val_tbl)
 
+        # host-precomputed pos-enc bounds + segment counts (static data;
+        # their device segment-reduce versions cost ~9ms/fwd, docs/DESIGN.md)
+        level_bounds = _host_coord_pyramid_bounds(graph, raw_coords, B)
+
+        fps_idx = None
+        if self.fps_queries:
+            # exactly the rows/order the model's device FPS would see
+            c0 = np.asarray(graph.levels[0].coords[:, 1:], np.float32)
+            fps_idx = np.stack([
+                fps_numpy(c0[scene_idx[0][b]], scene_valid[0][b],
+                          self.fps_queries)
+                for b in range(B)
+            ]).astype(np.int32)
+
         # segments
         s_counts = [int(p["seg"].max()) + 1 if len(p["seg"]) else 0 for p in per_scene]
         s_max = (pads["s_max"] if pads else
@@ -260,6 +322,13 @@ class FreeMaskCollator:
         seg_valid = np.zeros((B, s_max), bool)
         for b, c in enumerate(s_counts):
             seg_valid[b, :c] = True
+        # per-(scene, segment) voxel counts: denominator of the model's
+        # segment mean-pool, static per batch
+        bidx0 = np.asarray(graph.levels[0].coords[:, 0])
+        valid0 = np.asarray(graph.levels[0].valid)
+        seg_flat_h = (bidx0 * s_max + point2segment)[valid0]
+        seg_counts_arr = np.bincount(
+            seg_flat_h, minlength=B * s_max).astype(np.float32)[:B * s_max]
 
         # targets
         target = None
@@ -306,6 +375,9 @@ class FreeMaskCollator:
             seg_valid=seg_valid,
             scene_idx=tuple(scene_idx),
             scene_valid=tuple(scene_valid),
+            level_bounds=level_bounds,
+            seg_counts=seg_counts_arr,
+            fps_idx=fps_idx,
             target=target,
             triplane=triplane,
         )

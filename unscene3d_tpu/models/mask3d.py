@@ -30,7 +30,8 @@ from unscene3d_tpu.models.transformer_layers import (
 )
 from unscene3d_tpu.ops import conv_ops
 from unscene3d_tpu.ops.fps import furthest_point_sample_batch
-from unscene3d_tpu.ops.segment_ops import segment_max, segment_mean
+from unscene3d_tpu.ops.segment_ops import (segment_count, segment_max,
+                                            segment_mean)
 
 
 
@@ -172,9 +173,15 @@ class Mask3D(nn.Module):
             for d in range(n_sets)
         ]
 
-    def _segment_pool(self, x, seg_flat, num_segments, valid):
+    def _segment_pool(self, x, seg_flat, num_segments, valid, counts=None):
         if self.scatter_type == "mean":
-            return segment_mean(x, seg_flat, num_segments, valid)
+            from unscene3d_tpu.ops.segment_pool import tile_segment_sum
+
+            s = tile_segment_sum(x, seg_flat, num_segments, valid)
+            if counts is None:
+                counts = segment_count(seg_flat, num_segments, valid)
+            return s / jnp.maximum(counts, 1.0).astype(s.dtype)[
+                (...,) + (None,) * (x.ndim - 1)]
         return segment_max(x, seg_flat, num_segments, valid)
 
     def _mask_module(self, queries, mask_segments, batch):
@@ -235,7 +242,12 @@ class Mask3D(nn.Module):
         for lv in range(5):
             lvl = batch.graph.levels[lv]
             bidx = lvl.coords[:, 0]
-            mn, mx = per_scene_min_max(coords_by_level[lv], bidx, lvl.valid, B)
+            if batch.level_bounds is not None:
+                # host-precomputed (data/collate.py), bitwise-identical
+                mn, mx = batch.level_bounds[:, lv, 0], batch.level_bounds[:, lv, 1]
+            else:
+                mn, mx = per_scene_min_max(coords_by_level[lv], bidx,
+                                           lvl.valid, B)
             pe = self.pos_enc(
                 coords_by_level[lv][None],  # (1, N, 3)
                 jnp.take(mn, bidx, axis=0)[None],
@@ -251,20 +263,32 @@ class Mask3D(nn.Module):
         mask_features = mask_features * L0.valid[:, None].astype(mask_features.dtype)
         seg_flat = batch.batch_idx * S + batch.point2segment
         mask_segments = self._segment_pool(
-            mask_features, seg_flat, B * S, L0.valid
+            mask_features, seg_flat, B * S, L0.valid,
+            counts=batch.seg_counts,
         ).reshape(B, S, D)
 
         # ---- query init (ref :227-266)
         if self.non_parametric_queries:
-            vox_xyz = jnp.take(
-                L0.coords[:, 1:].astype(jnp.float32), batch.scene_idx[0], axis=0
-            )  # (B, n0, 3)
-            fps_idx = furthest_point_sample_batch(vox_xyz, batch.scene_valid[0], Q)
+            if batch.fps_idx is not None:
+                # host-precomputed seeds (data/collate.py::fps_numpy, same
+                # algorithm); saves an O(Q*N) device loop (~13ms at 200k vox)
+                assert batch.fps_idx.shape[-1] == Q
+                fps_idx = batch.fps_idx
+            else:
+                vox_xyz = jnp.take(
+                    L0.coords[:, 1:].astype(jnp.float32), batch.scene_idx[0],
+                    axis=0)  # (B, n0, 3)
+                fps_idx = furthest_point_sample_batch(
+                    vox_xyz, batch.scene_valid[0], Q)
             raw_by_scene = jnp.take(batch.raw_coords, batch.scene_idx[0], axis=0)
             sampled_coords = jnp.take_along_axis(
                 raw_by_scene, fps_idx[..., None], axis=1
             )  # (B, Q, 3)
-            mn, mx = per_scene_min_max(batch.raw_coords, batch.batch_idx, L0.valid, B)
+            if batch.level_bounds is not None:
+                mn, mx = batch.level_bounds[:, 0, 0], batch.level_bounds[:, 0, 1]
+            else:
+                mn, mx = per_scene_min_max(batch.raw_coords, batch.batch_idx,
+                                           L0.valid, B)
             query_pos = self.pos_enc(sampled_coords, mn[:, None], mx[:, None])
             for layer in self.query_projection:
                 query_pos = nn.relu(layer(query_pos))

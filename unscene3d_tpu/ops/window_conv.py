@@ -7,20 +7,23 @@ of a 256-row out-tile lie in a small contiguous index window -- the farthest
 class (dx = +-1, the slowest sort dim) spans one x-slice's occupancy, ~500
 rows on a 200k-voxel ScanNet-like scene (benchmarks/measure_spans.py).
 
-Per grid step (one 256-row out-tile):
-  1. ONE sliding union window of x rows (WU = 2304 by default) is DMA'd
-     HBM->VMEM at streaming bandwidth, double-buffered across steps;
-  2. for each of the 26 non-center offsets, a W-row sub-window is sliced
-     from the union in VMEM and the tile's neighbor rows are selected by a
-     one-hot (T x W) matmul on the MXU -- exact 0/1 row selection, fully
-     deterministic;
-  3. the 27 offset GEMMs accumulate in f32; bias / BN scale-shift /
-     residual / ReLU / validity masking fuse into the epilogue.
+Per grid step (one supertile of `group` consecutive out-tiles):
+  1. ONE sliding union window of x rows is DMA'd HBM->VMEM at streaming
+     bandwidth, double-buffered across steps and shared by the group's
+     tiles (read amplification w_union / (group*tile) ~ 2.9);
+  2. per tile, one sub-window is sliced from the union per dx REGION
+     (dx=-1 slice / own rows / dx=+1 slice; region = offset//9) and each
+     of the 26 non-center offsets selects its neighbor rows from its
+     region's slice by a one-hot (T x W) matmul on the MXU -- exact 0/1
+     row selection, fully deterministic;
+  3. the 27 offset GEMMs accumulate in f32; spilled pairs (neighbor
+     outside the region window, <0.5%) fold in from a compact
+     scalar-prefetch-indexed table; bias / BN scale-shift / residual /
+     ReLU / validity masking fuse into the epilogue.
 
-Pair tables are int16 window-local indices (VERDICT round-2 lever: half the
-pair-table bytes). Pairs whose neighbor falls outside the sub-window
-(<0.5% measured; e.g. slice-occupancy outliers) spill to a small XLA
-gather + segment-sum path outside the kernel.
+Pair tables are int16 window-local indices (half the pair-table bytes);
+all scalar-prefetch tables are flat 1-D (2-D SMEM layouts pad ~512B per
+row, docs/DESIGN.md).
 
 Reference being replaced: MinkowskiEngine's gather-GEMM-scatter CUDA conv
 (models/modules/common.py:125-158 in /root/reference).

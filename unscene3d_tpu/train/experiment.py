@@ -252,6 +252,14 @@ class Experiment:
         self.validation_dataset = validation_dataset
         self.test_dataset = test_dataset
         self.collator = collator
+        # precompute FPS query seeds in the collate workers (device FPS loop
+        # is ~13ms/scene at 200k voxels; host seeds are bit-identical)
+        nq = int(getattr(model, "num_queries", 0) or 0)
+        if nq and getattr(model, "non_parametric_queries", False):
+            for c in {id(collator): collator,
+                      id(eval_collator): eval_collator}.values():
+                if c is not None and getattr(c, "fps_queries", None) == 0:
+                    c.fps_queries = nq
         # eval must collate whole single scenes: train-side crop/merge
         # augmentation (small_crops, MergeCollator) would score crop 0
         # against full-scene GT
@@ -342,14 +350,25 @@ class Experiment:
             csr_levels = getattr(self.collator, "csr_levels", ())
             win_levels = getattr(self.collator, "win_levels", ())
             tiled = set(csr_levels) | set(win_levels)
+            win_align = (getattr(self.collator, "win_tile", 256)
+                         * getattr(self.collator, "win_group", 1))
+
+            def spill_grow(v):
+                # win_spill plan entries are [table_rows, slice_len] pairs
+                p8, q = (v if isinstance(v, (list, tuple)) else (v, v))
+                if not (p8 or q):
+                    return [128, 8]
+                return [bucket_size(int(p8 * 1.5) + 128, align=8, min_size=8),
+                        bucket_size(int(q * 1.5) + 8, align=8, min_size=8)]
+
             self._master_pads = dict(
-                levels=[grow(v, align=256 if li in tiled else 128)
+                levels=[grow(v, align=win_align if li in win_levels
+                             else 256 if li in tiled else 128)
                         for li, v in enumerate(merged["levels"])],
                 bricks=[(bucket_size(int(v * 1.15) + 1, align=8, min_size=8)
                          if v else 0) for v in merged["bricks"]],
-                win_spill=[(bucket_size(int(v * 1.5) + 8, align=8,
-                                        min_size=8) if v else 8)
-                           for v in merged.get("win_spill", [0] * 5)],
+                win_spill=[spill_grow(v)
+                           for v in merged.get("win_spill", [[0, 0]] * 5)],
                 win_spill_down=[(bucket_size(int(v * 1.5) + 8, align=8,
                                              min_size=8) if v else 8)
                                 for v in merged.get("win_spill_down", [0] * 5)],
