@@ -50,20 +50,30 @@ class WinTables:
 
 
 def build_win_tables(tables: np.ndarray, n_out_pad: int, n_in_pad: int,
-                     w_sub: int = 512, w_union: int = 2048,
+                     w_sub: int | None = None, w_union: int = 2048,
                      spill_pad: int | None = None) -> WinTables:
     """tables: (K, n_out_pad) int indices into the IN level (missing ->
-    n_in_pad - 1, always a padding row)."""
+    n_in_pad - 1, always a padding row).
+
+    w_sub=None sizes the per-offset window automatically: the max per-tile
+    index span rounded up to 128, capped at 640 and by w_union. UP tables
+    (fine out rows <- coarse parents) span only ~tile / density-ratio
+    (~80-360 rows measured), so auto width cuts their select FLOPs 2-4x
+    with zero spills. DOWN tables span ~tile * ratio (up to ~1900): there
+    the cap keeps the select matmuls cheap and the overflow keeps using
+    the compact spill fixup, which is cheaper than 1900-wide selects. The
+    auto width is a stable function of the level density ratio, so
+    recompiles stay rare."""
     tables = np.asarray(tables)
     K = tables.shape[0]
     assert tables.shape[1] == n_out_pad and n_out_pad % T == 0
     w_union = min(int(w_union), n_in_pad)
-    w_sub = min(int(w_sub), w_union)
     n_tiles = n_out_pad // T
     tile_of = np.arange(n_out_pad) // T
     BIG = np.int64(1 << 40)
 
     lo_k = np.empty((K, n_tiles), np.int64)
+    hi_k = np.full((K, n_tiles), -1, np.int64)
     valid_k = []
     for k in range(K):
         idx = tables[k].astype(np.int64)
@@ -72,6 +82,13 @@ def build_win_tables(tables: np.ndarray, n_out_pad: int, n_in_pad: int,
         per_tile = np.where(valid, idx, BIG).reshape(n_tiles, T)
         lo = per_tile.min(axis=1)
         lo_k[k] = np.where(lo == BIG, BIG, lo & ~7)
+        hi_k[k] = np.where(valid, idx, -1).reshape(n_tiles, T).max(axis=1)
+    if w_sub is None:
+        span = np.where(hi_k >= 0, hi_k - np.where(lo_k == BIG, 0, lo_k) + 1,
+                        0).max()
+        w_sub = int(min(max(-(-int(span) // 128) * 128, 128), 640, w_union))
+    else:
+        w_sub = min(int(w_sub), w_union)
     r0 = lo_k.min(axis=0)
     r0 = np.clip(np.where(r0 == BIG, 0, r0), 0, n_in_pad - w_union)
 
