@@ -133,11 +133,13 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         w_reg = (w, w, w)
     w_union = min(int(w_union), n_pad)
     assert n_pad % (tile * group) == 0 and n_pad >= w_union >= max(w_reg)
-    # all r0 clip bounds below are multiples of 8 iff w_union/w_sub are, so
-    # the final align-down is a no-op and cannot push the union off the
-    # supertile's own rows (the center offset streams from the union)
-    assert w_union % 8 == 0 and tile % 8 == 0
-    assert all(w % 8 == 0 for w in w_reg)
+    # r0 and the region starts are 32-aligned so the PACKED kernel path
+    # (4 rows folded into 128 lanes for narrow-channel convs) can slice at
+    # provably 8-aligned packed offsets; all clip bounds below are
+    # multiples of 32 iff w_union/w_sub are, so the align-down is a no-op
+    # and cannot push the union off the supertile's own rows
+    assert w_union % 32 == 0 and tile % 32 == 0
+    assert all(w % 32 == 0 for w in w_reg)
     n_tiles = n_pad // tile
     n_super = n_tiles // group
     tile_of = np.arange(n_pad) // tile
@@ -154,7 +156,7 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         per_tile = np.where(valid, idx, BIG).reshape(n_tiles, tile)
         lo = per_tile.min(axis=1)
         r = k // 9
-        lo_reg[r] = np.minimum(lo_reg[r], np.where(lo == BIG, BIG, lo & ~7))
+        lo_reg[r] = np.minimum(lo_reg[r], np.where(lo == BIG, BIG, lo & ~31))
     tstart = np.arange(n_tiles, dtype=np.int64) * tile
     r0_tile = lo_reg.min(axis=0)
     r0_tile = np.where(r0_tile == BIG, tstart, r0_tile)
@@ -166,7 +168,7 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
     send = sstart + group * tile                              # rows end
     r0 = r0_tile.reshape(n_super, group).min(axis=1)
     r0 = np.clip(r0, send - w_union, sstart)
-    r0 = np.clip(r0, 0, n_pad - w_union) & ~7
+    r0 = np.clip(r0, 0, n_pad - w_union) & ~31
 
     r0_of_tile = r0[super_of_tile]
     starts = np.zeros((n_tiles, 3), np.int32)
@@ -174,6 +176,11 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
     for r in range(3):
         lo = np.where(lo_reg[r] == BIG, r0_of_tile, lo_reg[r])
         lo = np.clip(lo, r0_of_tile, r0_of_tile + w_union - w_reg[r])
+        if r == 1:
+            # the own-region window must CONTAIN the tile's own rows: the
+            # packed kernel streams the center offset through it (backward
+            # dy/dz pairs pushed out by this clamp spill instead)
+            lo = np.maximum(lo, tstart + tile - w_reg[1])
         starts[:, r] = (lo - r0_of_tile).astype(np.int32)
         lo_of[r] = lo
     lidx = np.full((n_pad, 26), -1, np.int16)
@@ -251,7 +258,8 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
 
 
 def _kernel(*refs, T, WS, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
-            has_res):
+            has_res, PACK=1):
+    PACK_SH = PACK.bit_length() - 1
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -282,9 +290,9 @@ def _kernel(*refs, T, WS, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
     n_steps = pl.num_programs(0)
 
     def dma(slot, tt):
-        r0 = pl.multiple_of(r0_ref[tt], 8)
+        r0 = pl.multiple_of(r0_ref[tt] // PACK, 8)
         return pltpu.make_async_copy(
-            x_any.at[pl.ds(r0, WU)], scratch.at[slot],
+            x_any.at[pl.ds(r0, WU // PACK)], scratch.at[slot],
             sems.at[slot])
 
     @pl.when(t == 0)
@@ -297,28 +305,59 @@ def _kernel(*refs, T, WS, WU, G, SQ, n_pad, relu, out_dtype, has_scale,
 
     dma(t % 2, t).wait()
     slot = t % 2
-    iotas = [jax.lax.broadcasted_iota(jnp.int32, (T, w), 1) for w in WS]
+    iotas = [jax.lax.broadcasted_iota(jnp.int32, (T, w // PACK), 1)
+             for w in WS]
+    if PACK > 1:
+        # lane-block id of every 128-lane column (PACK row-blocks of the
+        # packed layout, each 128/PACK channels wide)
+        lane_blk = (jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                    // (128 // PACK))
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
 
     # fori_loop (not an unrolled python loop) so Mosaic reuses the per-g
     # select temporaries: unrolled G>1 overflows the 16M scoped-VMEM stack
     def per_tile(g, _):
         gT = pl.multiple_of(g * T, T)
-        c0 = pl.multiple_of(
-            (t * G + g) * T - pl.multiple_of(r0_ref[t], 8), 8)
-        xc = scratch.at[slot][pl.ds(c0, T), :]
-        acc = jnp.dot(xc, w_ref[13], preferred_element_type=jnp.float32)
         # one sub-window slice per dx region, shared by its 8-9 offsets
         subs = []
         for r in range(3):
-            u = pl.multiple_of(starts_ref[(t * G + g) * 3 + r], 8)
-            subs.append(scratch.at[slot][pl.ds(u, WS[r]), :])
+            u = pl.multiple_of(
+                starts_ref[(t * G + g) * 3 + r] // PACK, 8)
+            subs.append(scratch.at[slot][pl.ds(u, WS[r] // PACK), :])
+
+        def select(li, reg):
+            """Select neighbor rows given window-local ids (T, 1)."""
+            sub = subs[reg]
+            if PACK == 1:
+                onehot = (li == iotas[reg]).astype(sub.dtype)  # exact 0/1
+                sel = jnp.dot(onehot, sub,
+                              preferred_element_type=jnp.float32)
+                return sel.astype(sub.dtype)
+            # packed: pick the 128-lane super-row, then mask the lane
+            # block holding the neighbor's channels; the stacked weights
+            # (w tiled PACK x along cin) absorb the block offset, so the
+            # apply GEMM below is unchanged
+            onehot = ((li >> PACK_SH) == iotas[reg]).astype(sub.dtype)
+            sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
+            sel = sel * ((li & (PACK - 1)) == lane_blk).astype(jnp.float32)
+            return sel.astype(sub.dtype)
+
+        if PACK == 1:
+            c0 = pl.multiple_of(
+                (t * G + g) * T - pl.multiple_of(r0_ref[t], 8), 8)
+            xc = scratch.at[slot][pl.ds(c0, T), :]
+        else:
+            # the center offset's rows come through the same packed select
+            # (own-region window); its window-local ids are just the row
+            # index plus the tile-start-to-window-start distance
+            c_off = ((t * G + g) * T
+                     - (r0_ref[t] + starts_ref[(t * G + g) * 3 + 1]))
+            xc = select(rowi + c_off, 1)
+        acc = jnp.dot(xc, w_ref[13], preferred_element_type=jnp.float32)
         for ki in range(26):
             k = ki if ki < 13 else ki + 1
-            sub = subs[k // 9]
             li = lidx_ref[pl.ds(gT, T), ki:ki + 1].astype(jnp.int32)
-            onehot = (li == iotas[k // 9]).astype(sub.dtype)   # exact 0/1
-            sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(sel.astype(sub.dtype), w_ref[k],
+            acc = acc + jnp.dot(select(li, k // 9), w_ref[k],
                                 preferred_element_type=jnp.float32)
         if SQ:
             # spilled pairs: precomputed per-pair x[i]@w[k] values live in a
@@ -569,11 +608,26 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     has_res = residual is not None
 
     # Mosaic requires DMA'd slices to be 128-lane aligned: pad channels for
-    # the window source (the union DMA is per-TILE, so the padding overhead
-    # is bounded; zero columns contribute nothing through the GEMMs)
-    cpad = -(-cin // 128) * 128
-    xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
-    wp = wk if cpad == cin else jnp.pad(wk, ((0, 0), (0, cpad - cin), (0, 0)))
+    # the window source. Narrow convs (cin <= 32: the stem and the first
+    # down stage) would waste 3/4+ of every select matmul's lanes, so they
+    # PACK 4 rows into the 128 lanes instead: the one-hot picks the packed
+    # super-row (4x narrower select), a lane-block mask isolates the
+    # neighbor's channels, and weights tiled 4x along cin absorb the block
+    # offset in the unchanged apply GEMM.
+    PACK = 4 if (cin <= 32 and WU % 32 == 0
+                 and all(w % 32 == 0 for w in WS)) else 1
+    if PACK > 1:
+        cp = 32
+        xp = jnp.pad(x, ((0, 0), (0, cp - cin))) if cin < cp else x
+        xp = xp.reshape(n_pad // PACK, PACK * cp)
+        wp = jnp.pad(wk, ((0, 0), (0, cp - cin), (0, 0))) if cin < cp else wk
+        wp = jnp.tile(wp, (1, PACK, 1))                  # (27, 128, cout)
+        cpad = PACK * cp
+    else:
+        cpad = -(-cin // 128) * 128
+        xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
+        wp = (wk if cpad == cin
+              else jnp.pad(wk, ((0, 0), (0, cpad - cin), (0, 0))))
 
     in_specs = [
         pl.BlockSpec((G * Tt, 26), lambda t, *_: (t, 0),
@@ -603,7 +657,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     args.append(valid.astype(jnp.int8)[:, None])
 
     scratch_shapes = [
-        pltpu.VMEM((2, WU, cpad), x.dtype),
+        pltpu.VMEM((2, WU // PACK, cpad), x.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     # scalar-prefetch arrays must be 1-D: Mosaic lays 2-D SMEM arrays out
@@ -622,7 +676,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
     )
     kernel = functools.partial(
         _kernel, T=Tt, WS=WS, WU=WU, G=G, SQ=SQ, n_pad=n_pad, relu=relu,
-        out_dtype=x.dtype, has_scale=has_scale, has_res=has_res)
+        out_dtype=x.dtype, has_scale=has_scale, has_res=has_res, PACK=PACK)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, cout), x.dtype),
