@@ -59,9 +59,15 @@ def fps_numpy(xyz: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
     mask_bias = np.where(valid, np.float32(0), -np.inf).astype(np.float32)
     dist = np.full(n, np.inf, np.float32)
     idxs = np.zeros(k, np.int32)
+    # same (x - c) squared-sum arithmetic as the device loop (a |x|^2
+    # expansion would be faster but changes f32 rounding and breaks the
+    # bit-identity), staged through preallocated buffers
+    buf = np.empty((n, 3), np.float32)
     for i in range(1, k):
-        d = np.sum(np.square(xyz - xyz[idxs[i - 1]]), axis=-1, dtype=np.float32)
-        dist = np.minimum(dist, d)
+        np.subtract(xyz, xyz[idxs[i - 1]], out=buf)
+        np.multiply(buf, buf, out=buf)
+        d = buf.sum(axis=1)
+        np.minimum(dist, d, out=dist)
         idxs[i] = np.argmax(dist + mask_bias)
     return idxs
 

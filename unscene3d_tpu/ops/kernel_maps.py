@@ -120,8 +120,10 @@ def _pad_level(
     assert n_pad > n, "bucketing must leave at least one padding row"
 
     def pad2(idx, valid, fill):
-        out = np.full((idx.shape[0], n_pad), fill, dtype=np.int32)
-        out[:, :n] = np.where(valid, idx, fill)
+        out = np.empty((idx.shape[0], n_pad), dtype=np.int32)
+        out[:, n:] = fill
+        np.copyto(out[:, :n], idx.astype(np.int32, copy=False))
+        np.copyto(out[:, :n], fill, where=~valid)
         return out
 
     coords_p = np.zeros((n_pad, 4), dtype=np.int32)
