@@ -121,9 +121,14 @@ def build_win_tables(tables: np.ndarray, n_out_pad: int, n_in_pad: int,
     inn = np.full(spill_pad, n_in_pad - 1, np.int32)
     kk = np.zeros(spill_pad, np.int32)
     if n_spill:
-        out[:n_spill] = np.concatenate(sp_out)
-        inn[:n_spill] = np.concatenate(sp_in)
-        kk[:n_spill] = np.concatenate(sp_k)
+        # sorted by out row so the fixup's segment_sum skips the device
+        # sort XLA otherwise inserts for scatter-adds (the sentinel padding
+        # rows at n_out_pad-1 keep the order sorted)
+        o = np.concatenate(sp_out)
+        order = np.argsort(o, kind="stable")
+        out[:n_spill] = o[order]
+        inn[:n_spill] = np.concatenate(sp_in)[order]
+        kk[:n_spill] = np.concatenate(sp_k)[order]
     return WinTables(
         r0=jnp.asarray(r0.astype(np.int32)),
         starts=jnp.asarray(starts), lidx=jnp.asarray(lidx),
@@ -198,12 +203,16 @@ def _spill_contrib(x, w, wt: WinTables, n_out_pad, cout):
     if w is None:
         acc = xs.astype(jnp.float32)
     else:
-        acc = jnp.zeros((xs.shape[0], cout), jnp.float32)
-        for k in range(w.shape[0]):
-            m = (wt.spill_k == k)
-            acc = acc + jnp.dot(xs * m[:, None].astype(xs.dtype), w[k],
-                                preferred_element_type=jnp.float32)
-    return jax.ops.segment_sum(acc, wt.spill_out, num_segments=n_out_pad)
+        # one (P, K*Cin) x (K*Cin, Cout) matmul: a loop of K masked small
+        # dots gets lowered as HLO convolutions (~10x off, trace r3)
+        K, cin, cout_w = w.shape
+        oh = jax.nn.one_hot(wt.spill_k, K, dtype=xs.dtype)       # (P, K)
+        spread = (oh[:, :, None] * xs[:, None, :]).reshape(
+            xs.shape[0], K * cin)
+        acc = jnp.dot(spread, w.reshape(K * cin, cout_w),
+                      preferred_element_type=jnp.float32)
+    return jax.ops.segment_sum(acc, wt.spill_out, num_segments=n_out_pad,
+                               indices_are_sorted=True)
 
 
 def _xla_reference(x, w, wt: WinTables, out_valid, n_out_pad):
