@@ -252,20 +252,16 @@ class Experiment:
         self.validation_dataset = validation_dataset
         self.test_dataset = test_dataset
         self.collator = collator
-        # precompute FPS query seeds in the collate workers (device FPS loop
-        # is ~13ms/scene at 200k voxels; host seeds are bit-identical)
-        nq = int(getattr(model, "num_queries", 0) or 0)
-        if nq and getattr(model, "non_parametric_queries", False):
-            for c in {id(collator): collator,
-                      id(eval_collator): eval_collator}.values():
-                if c is not None and getattr(c, "fps_queries", None) == 0:
-                    c.fps_queries = nq
         # eval must collate whole single scenes: train-side crop/merge
         # augmentation (small_crops, MergeCollator) would score crop 0
-        # against full-scene GT
+        # against full-scene GT. Eval also always gets the windowed-select
+        # conv engine (win_levels): it is ~4x faster than the scan engine
+        # at eval widths (docs/DESIGN.md) while training keeps the
+        # config's choice (the window VJP loses to scan convs in training)
         if eval_collator is None and (
                 getattr(collator, "small_crops", False)
                 or getattr(collator, "very_small_crops", False)
+                or not getattr(collator, "win_levels", ())
                 or type(collator).__name__ == "MergeCollator"):
             eval_collator = FreeMaskCollator(
                 voxel_size=collator.voxel_size,
@@ -273,8 +269,17 @@ class Experiment:
                 build_triplane=collator.build_triplane,
                 fine_buckets=collator.fine_buckets,
                 csr_levels=collator.csr_levels,
-                win_levels=getattr(collator, "win_levels", ()))
+                win_levels=(getattr(collator, "win_levels", ())
+                            or (0, 1, 2, 3, 4)))
         self.eval_collator = eval_collator or collator
+        # precompute FPS query seeds in the collate workers (device FPS loop
+        # is ~13ms/scene at 200k voxels; host seeds are bit-identical)
+        nq = int(getattr(model, "num_queries", 0) or 0)
+        if nq and getattr(model, "non_parametric_queries", False):
+            for c in {id(self.collator): self.collator,
+                      id(self.eval_collator): self.eval_collator}.values():
+                if getattr(c, "fps_queries", None) == 0:
+                    c.fps_queries = nq
         self.save_dir = cfg.general.save_dir
         self.logger = build_loggers(cfg)
 
