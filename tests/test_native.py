@@ -66,14 +66,77 @@ def test_segment_mesh_native_matches_numpy():
 
 
 @pytest.mark.skipif(load_native() is None, reason="no C++ toolchain")
-def test_neighbor_map_native_matches_numpy():
+@pytest.mark.parametrize("shuffled", [False, True])
+def test_neighbor_map_native_matches_numpy(shuffled):
+    """Sorted input exercises the two-pointer merge path; shuffled input the
+    flat-hash fallback. Both must equal the numpy searchsorted oracle."""
     r = np.random.RandomState(0)
     coords = np.unique(np.column_stack([
         r.randint(0, 3, 3000), r.randint(-30, 30, (3000, 3))
     ]), axis=0).astype(np.int32)
+    if shuffled:
+        coords = coords[r.permutation(len(coords))]
     res = build_neighbor_map_native(coords, KERNEL3_OFFSETS)
     assert res is not None
     idx_c, valid_c = res
     idx_np, valid_np = build_neighbor_map(coords, use_native=False)
     assert (valid_c == valid_np).all()
     assert (idx_c[valid_c] == idx_np[valid_np]).all()
+
+
+@pytest.mark.skipif(load_native() is None, reason="no C++ toolchain")
+def test_fps_native_bit_identical():
+    """C++ FPS must equal the numpy loop (which seeds the model's queries
+    bit-identically to the device loop) on every index, ties included."""
+    from unscene3d_tpu.native import furthest_point_sample_native
+
+    r = np.random.RandomState(1)
+    n = 20_000
+    xyz = (r.randn(n, 3) * 3).astype(np.float32)
+    # duplicated points force distance ties -> first-max tie-breaking matters
+    xyz[n // 2:n // 2 + 500] = xyz[:500]
+    valid = np.ones(n, bool)
+    valid[-2048:] = False
+    xyz[~valid] = 0.0
+    got = furthest_point_sample_native(xyz, valid, 100)
+    assert got is not None
+
+    # inline numpy reference (same arithmetic as data/collate.py::fps_numpy)
+    mask_bias = np.where(valid, np.float32(0), -np.inf).astype(np.float32)
+    dist = np.full(n, np.inf, np.float32)
+    idxs = np.zeros(100, np.int32)
+    buf = np.empty((n, 3), np.float32)
+    for i in range(1, 100):
+        np.subtract(xyz, xyz[idxs[i - 1]], out=buf)
+        np.multiply(buf, buf, out=buf)
+        d = buf.sum(axis=1)
+        np.minimum(dist, d, out=dist)
+        idxs[i] = np.argmax(dist + mask_bias)
+    np.testing.assert_array_equal(got, idxs)
+
+
+@pytest.mark.skipif(load_native() is None, reason="no C++ toolchain")
+@pytest.mark.parametrize("w_sub,w_union", [(384, 4096), (256, 512)])
+def test_win_graph_native_bit_identical(monkeypatch, w_sub, w_union):
+    """build_win_graph's C++ passes must reproduce the numpy formulation
+    field-for-field, including heavy spilling (w_union=512)."""
+    import unscene3d_tpu.native as nat
+    from unscene3d_tpu.data.collate import FreeMaskCollator
+    from unscene3d_tpu.data.synthetic import make_scene
+    from unscene3d_tpu.ops.window_conv import build_win_graph
+
+    scene = make_scene(num_points=12_000, num_objects=4, extent=3.0, seed=3)
+    batch, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    level = batch.graph.levels[0]
+    n_pad = level.num_padded
+    nbr = np.asarray(level.nbr_idx)
+    kw = dict(w_sub=min(w_sub, n_pad), w_union=min(w_union, n_pad))
+    g_nat = build_win_graph(nbr, n_pad, **kw)
+    monkeypatch.setattr(nat, "win_tables_native", lambda *a: None)
+    monkeypatch.setattr(nat, "win_fill_lidx_native", lambda *a: None)
+    g_np = build_win_graph(nbr, n_pad, **kw)
+    for f in ("r0", "starts", "lidx", "spill_out", "spill_in", "spill_k",
+              "spill_rows", "sp_q0", "sp_qn"):
+        np.testing.assert_array_equal(np.asarray(getattr(g_nat, f)),
+                                      np.asarray(getattr(g_np, f)), err_msg=f)
+    assert g_nat.spill_q == g_np.spill_q

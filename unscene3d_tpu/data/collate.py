@@ -56,6 +56,13 @@ def fps_numpy(xyz: np.ndarray, valid: np.ndarray, k: int) -> np.ndarray:
     tie breaking) so host-precomputed seeds equal the device loop's."""
     n = len(xyz)
     xyz = np.asarray(xyz, np.float32)
+    from unscene3d_tpu.native import furthest_point_sample_native
+
+    # C++ loop (bit-identical, ~60x faster at 200k voxels: the numpy loop
+    # re-materializes three (N,3) temporaries per iteration)
+    out = furthest_point_sample_native(xyz, np.asarray(valid), k)
+    if out is not None:
+        return out
     mask_bias = np.where(valid, np.float32(0), -np.inf).astype(np.float32)
     dist = np.full(n, np.inf, np.float32)
     idxs = np.zeros(k, np.int32)

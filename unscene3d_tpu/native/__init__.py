@@ -18,7 +18,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_DIR, "_native.so")
-_SOURCES = ["segmentator.cpp", "kernel_maps.cpp"]
+_SOURCES = ["segmentator.cpp", "kernel_maps.cpp", "point_ops.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 _BUILD_FAILED = False
@@ -30,8 +30,11 @@ def _build() -> bool:
     # (multi-host launches, prefetch workers) must never dlopen a
     # half-written .so
     tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
+    # -ffp-contract=off: FMA contraction would change f32 rounding in
+    # point_ops.cpp's FPS vs the numpy/device loops it must seed bit-
+    # identically (the hash/table code has no float math to slow down)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", tmp] + srcs
+           "-fopenmp", "-ffp-contract=off", "-o", tmp] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, _SO_PATH)
@@ -80,6 +83,27 @@ def load_native():
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
+            ]
+        if hasattr(_LIB, "furthest_point_sample"):
+            _LIB.furthest_point_sample.restype = ctypes.c_int
+            _LIB.furthest_point_sample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ]
+        if hasattr(_LIB, "win_lo_reg"):
+            _LIB.win_lo_reg.restype = ctypes.c_int
+            _LIB.win_lo_reg.argtypes = [
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            _LIB.win_fill_lidx.restype = ctypes.c_int
+            _LIB.win_fill_lidx.argtypes = [
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
         return _LIB
 
@@ -147,6 +171,73 @@ def build_neighbor_map_native(coords: np.ndarray, offsets: np.ndarray):
     if rc != 0:
         return None
     return out_idx, out_valid.astype(bool)
+
+
+def furthest_point_sample_native(xyz: np.ndarray, valid: np.ndarray,
+                                 k: int):
+    """C++ FPS, bit-identical to data/collate.py::fps_numpy; returns (k,)
+    int32 indices or None when the native lib is unavailable."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "furthest_point_sample"):
+        return None
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    n = len(xyz)
+    out = np.zeros(max(k, 1), np.int32)
+    dist = np.empty(n, np.float32)
+    rc = lib.furthest_point_sample(
+        _cptr(xyz, ctypes.c_float), n, _cptr(valid, ctypes.c_uint8),
+        int(k), _cptr(dist, ctypes.c_float), _cptr(out, ctypes.c_int))
+    return out[:k] if rc == 0 else None
+
+
+_LO_SENTINEL = np.int32(2**31 - 1)
+
+
+def win_tables_native(nbr: np.ndarray, n_pad: int, tile: int):
+    """Pass-1 of the win-k3 table builder: per-(region, tile) 32-aligned min
+    of valid neighbor rows. Returns (3, n_tiles) int64 with BIG=1<<40 at
+    empty entries (matching build_win_graph's numpy formulation) or None."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "win_lo_reg"):
+        return None
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    n_tiles = n_pad // tile
+    lo = np.empty((3, n_tiles), np.int32)
+    rc = lib.win_lo_reg(_cptr(nbr, ctypes.c_int), int(n_pad), int(tile),
+                        _cptr(lo, ctypes.c_int))
+    if rc != 0:
+        return None
+    out = lo.astype(np.int64)
+    out[lo == _LO_SENTINEL] = np.int64(1 << 40)
+    return out
+
+
+def win_fill_lidx_native(nbr: np.ndarray, n_pad: int, tile: int,
+                         lo_of: np.ndarray, w_reg):
+    """Pass-2: window-local ids (n_pad, 26) int16 plus spill triples in the
+    numpy (offset, row) order. Returns (lidx, sp_out, sp_in, sp_k) or None."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "win_fill_lidx"):
+        return None
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    lo_of = np.ascontiguousarray(lo_of, np.int32)
+    w_arr = np.ascontiguousarray(np.asarray(w_reg), np.int32)
+    lidx = np.empty((n_pad, 26), np.int16)
+    cap = 4096
+    while True:
+        sp_out = np.empty(cap, np.int32)
+        sp_in = np.empty(cap, np.int32)
+        sp_k = np.empty(cap, np.int32)
+        n = lib.win_fill_lidx(
+            _cptr(nbr, ctypes.c_int), int(n_pad), int(tile),
+            _cptr(lo_of, ctypes.c_int), _cptr(w_arr, ctypes.c_int),
+            lidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            _cptr(sp_out, ctypes.c_int), _cptr(sp_in, ctypes.c_int),
+            _cptr(sp_k, ctypes.c_int), cap)
+        if n >= 0:
+            return lidx, sp_out[:n], sp_in[:n], sp_k[:n]
+        cap = -n
 
 
 def _segment_mesh_numpy(vertices, faces, colors, kthr, seg_min_verts):

@@ -129,11 +129,13 @@ def build_win_tables(tables: np.ndarray, n_out_pad: int, n_in_pad: int,
         out[:n_spill] = o[order]
         inn[:n_spill] = np.concatenate(sp_in)[order]
         kk[:n_spill] = np.concatenate(sp_k)[order]
+    # numpy, not jnp: see build_win_graph -- no eager device transfers from
+    # collate threads; the batch is device_put once as a tree
     return WinTables(
-        r0=jnp.asarray(r0.astype(np.int32)),
-        starts=jnp.asarray(starts), lidx=jnp.asarray(lidx),
-        spill_out=jnp.asarray(out), spill_in=jnp.asarray(inn),
-        spill_k=jnp.asarray(kk), n_in_pad=int(n_in_pad),
+        r0=r0.astype(np.int32),
+        starts=starts, lidx=lidx,
+        spill_out=out, spill_in=inn,
+        spill_k=kk, n_in_pad=int(n_in_pad),
         w_sub=int(w_sub), w_union=int(w_union),
     )
 
