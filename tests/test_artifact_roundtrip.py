@@ -108,6 +108,7 @@ def test_artifact_chain_roundtrip(tmp_path):
                                       "classes": classes,
                                       "scores": scores}},
                              {scene: gt_fg}, min_region_size=10)
-    filed = evaluate({scene: parsed}, str(gt_dir), dataset="freemask")
+    filed = evaluate({scene: parsed}, str(gt_dir), dataset="freemask",
+                 min_region_size=10)  # tiny synthetic scenes
     for key in ("all_ap", "all_ap_50%", "all_ap_25%"):
         assert filed[key] == pytest.approx(mem[key], abs=1e-9), key

@@ -68,6 +68,42 @@ def test_conv_up2_vjp_matches_autodiff():
     check_grads(custom, ref, (xc, w))
 
 
+def test_avg_pool2_vjp_matches_autodiff():
+    """avg_pool2's custom VJP (parent gather; required because the windowed
+    pooling forward is a Pallas call with no autodiff) must equal XLA
+    autodiff of the gather formulation -- with and without win tables."""
+    fine, coarse, x, n = setup(seed=5)
+    weights = jnp.asarray(rng.randn(coarse.num_padded, 6).astype(np.float32))
+    custom = lambda x: (conv_ops.avg_pool2(x, coarse, fine=fine) * weights)
+    ref = lambda x: (conv_ops.avg_pool2(x, coarse) * weights)
+    np.testing.assert_allclose(np.asarray(custom(x)), np.asarray(ref(x)),
+                               rtol=1e-4, atol=1e-5)
+    check_grads(custom, ref, (x,), wrt=(0,))
+
+    # windowed tables (the path that NEEDS the VJP): rebuild the graph with
+    # win levels so pads meet the 256-row tile alignment
+    r = np.random.RandomState(5)
+    coords = np.unique(np.column_stack([
+        r.randint(0, 2, 1600), r.randint(-12, 12, (1600, 3))
+    ]), axis=0)[:400].astype(np.int32)
+    gw = build_sparse_graph(coords, num_levels=2, win_levels=(0, 1),
+                            win_group=1)
+    fine_w, coarse_w = gw.levels[0], gw.levels[1]
+    assert coarse_w.win_down is not None
+    xw = np.zeros((fine_w.num_padded, 6), np.float32)
+    xw[: len(coords)] = r.randn(len(coords), 6)
+    xw = jnp.asarray(xw)
+    weights_w = jnp.asarray(
+        r.randn(coarse_w.num_padded, 6).astype(np.float32))
+    coarse_g = coarse_w.replace(win_down=None)
+    custom_w = lambda x: (conv_ops.avg_pool2(x, coarse_w, fine=fine_w)
+                          * weights_w)
+    ref_w = lambda x: (conv_ops.avg_pool2(x, coarse_g) * weights_w)
+    np.testing.assert_allclose(np.asarray(custom_w(xw)),
+                               np.asarray(ref_w(xw)), rtol=1e-4, atol=1e-5)
+    check_grads(custom_w, ref_w, (xw,), wrt=(0,))
+
+
 def test_bias_grads():
     fine, _, x, n = setup(seed=4)
     w = jnp.asarray((rng.randn(27, 6, 5) * 0.2).astype(np.float32))

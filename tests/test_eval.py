@@ -135,3 +135,12 @@ def test_packed_eval_matches_host_path():
     np.testing.assert_array_equal(got["masks"], want["masks"])
     np.testing.assert_array_equal(got["classes"], want["classes"])
     np.testing.assert_allclose(got["scores"], want["scores"], rtol=1e-5)
+
+    # connectivity separation branch of the segment-space tail
+    kwargs["separate_instances"] = True
+    want = eval_scene_predictions(logits, vox[:n_vox], **kwargs)
+    got = eval_scene_predictions_packed(probs, mask_scores, packed, n_vox,
+                                        **kwargs)
+    np.testing.assert_array_equal(got["masks"], want["masks"])
+    np.testing.assert_array_equal(got["classes"], want["classes"])
+    np.testing.assert_allclose(got["scores"], want["scores"], rtol=1e-5)

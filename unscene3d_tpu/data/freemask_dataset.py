@@ -102,6 +102,14 @@ class FreeMaskDataset:
     def __len__(self):
         return len(self.data)
 
+    def scene_sizes(self) -> list[int]:
+        """Per-scene point counts from the database yaml (file_len written by
+        the preprocessors) -- lets the trainer derive its master pad plan
+        from the LARGEST scenes up front instead of probing the first few
+        (a pad-plan rebuild costs a full recompile, VERDICT r3 next#7).
+        -1 where the database has no size hint."""
+        return [int(e.get("file_len", -1) or -1) for e in self.data]
+
     def __getitem__(self, idx: int) -> dict:
         entry = self.data[idx % len(self.data)]
         point_path = entry["filepath"].replace("../../", "")
@@ -207,11 +215,12 @@ class SyntheticFreeMaskDataset:
 
     def __init__(self, mode: str = "train", num_scenes: int = 8,
                  num_points: int = 8000, num_objects: int = 8, seed: int = 0,
-                 augment: bool | None = None, **_):
+                 extent: float = 3.0, augment: bool | None = None, **_):
         self.mode = mode
         self.num_scenes = num_scenes
         self.num_points = num_points
         self.num_objects = num_objects
+        self.extent = float(extent)
         self.base_seed = seed + {"train": 0, "validation": 10_000, "test": 20_000}.get(mode, 0)
         self.augment = ("train" in mode) if augment is None else augment
         self.rng = np.random.RandomState(self.base_seed)
@@ -220,9 +229,12 @@ class SyntheticFreeMaskDataset:
     def __len__(self):
         return self.num_scenes
 
+    def scene_sizes(self) -> list[int]:
+        return [self.num_points] * self.num_scenes
+
     def __getitem__(self, idx: int) -> dict:
         scene = make_scene(num_points=self.num_points, num_objects=self.num_objects,
-                           seed=self.base_seed + int(idx))
+                           extent=self.extent, seed=self.base_seed + int(idx))
         scene["features"] = normalize_color(scene["colors"], COLOR_MEAN, COLOR_STD)
         if self.augment:
             scene = self.augmentation(scene, self.rng)

@@ -67,7 +67,9 @@ def _collect_scene(pred_masks, pred_classes, pred_scores, gt_ids,
             continue
         pm = pred_masks[:, k].astype(bool)
         vc = int(pm.sum())
-        if vc == 0:
+        if vc < min_region_size:
+            # the reference skips SMALL PREDICTIONS too, not just small GT
+            # (benchmark/evaluate_semantic_instance.py:308)
             continue
         void_inter = int((pm & void_mask).sum())
         pred = _PredInstance(float(pred_scores[k]), c, vc, void_inter, [])
@@ -198,9 +200,13 @@ def evaluate_instances(
 
 
 DATASET_PRESETS = {
-    # reference benchmark/evaluate_semantic_instance.py:459-543
+    # reference benchmark/evaluate_semantic_instance.py:459-543. NOTE the
+    # benchmark evaluator keeps min_region_sizes=[100] for freemask (only
+    # stpls3d lowers it, :472); the PSEUDO app's Evaluator uses 10
+    # (pseudo_masks/datasets/evaluation/evaluate_semantic_instance.py:53) --
+    # the pseudo eval CLIs pass min_region_size=10 explicitly.
     "freemask": dict(valid_class_ids=(1,), class_labels=("foreground",),
-                     min_region_size=10),
+                     min_region_size=100),
     "scannet": dict(
         valid_class_ids=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28,
                          33, 34, 36, 39),
@@ -214,14 +220,17 @@ DATASET_PRESETS = {
 
 
 def evaluate(preds: dict, gt_path: str, output_file: str | None = None,
-             dataset: str = "freemask") -> dict:
+             dataset: str = "freemask",
+             min_region_size: int | None = None) -> dict:
     """File-based evaluation matching the reference's entry point
     (benchmark/evaluate_semantic_instance.py:459): preds keyed by scene name
     with 'pred_masks'/'pred_scores'/'pred_classes', GT read from
     `{gt_path}/{scene}.txt` (per-point ids sem*1000+inst+1)."""
     import os
 
-    preset = DATASET_PRESETS[dataset]
+    preset = dict(DATASET_PRESETS[dataset])
+    if min_region_size is not None:
+        preset["min_region_size"] = int(min_region_size)
     norm_preds, gts = {}, {}
     for scene, p in preds.items():
         masks = np.asarray(p.get("pred_masks", p.get("masks")))

@@ -40,6 +40,36 @@ def get_mask_and_scores(cls_probs: np.ndarray, mask_pred: np.ndarray,
     return score, result_pred_mask, labels_per_query, heatmap
 
 
+class SegmentVote:
+    """Per-scene (segment, voxel) point-count matrix: row s, col v = how many
+    full-res points of segment s map to voxel v. Segment majority voting of
+    any voxel mask set is then one sparse matmul (W @ masks) / counts --
+    numerically identical to gathering masks to full resolution and averaging
+    per segment (get_full_res_mask), but ~10x cheaper at 250k points x 100
+    queries (np.add.at was ~2.5 s/scene, the warm-eval bottleneck).
+    Build once per scene and reuse across masks/epochs."""
+
+    def __init__(self, inverse_map: np.ndarray,
+                 point2segment_full: np.ndarray):
+        import scipy.sparse as sp
+
+        p2s = np.asarray(point2segment_full)
+        inv = np.asarray(inverse_map)
+        self.n_seg = int(p2s.max()) + 1 if len(p2s) else 0
+        n_vox = int(inv.max()) + 1 if len(inv) else 0
+        self.counts = np.bincount(p2s, minlength=self.n_seg).astype(np.float64)
+        self.w = sp.coo_matrix(
+            (np.ones(len(p2s), np.float32), (p2s, inv)),
+            shape=(self.n_seg, n_vox)).tocsr()
+        self.p2s = p2s
+
+    def vote(self, vox_masks: np.ndarray) -> np.ndarray:
+        """(n_vox, K) 0/1 -> (S, K) bool majority-voted segment masks."""
+        sums = self.w @ vox_masks.astype(np.float32)
+        return (sums.astype(np.float64)
+                / np.maximum(self.counts, 1)[:, None]) > 0.5
+
+
 def get_full_res_mask(mask: np.ndarray, inverse_map: np.ndarray,
                       point2segment_full: np.ndarray | None,
                       eval_on_segments: bool = True,
@@ -209,20 +239,86 @@ def eval_scene_predictions_packed(
     scores_threshold: float = 0.0,
     separate_instances: bool = False,
     segment_connectivity: np.ndarray | None = None,
+    seg_vote: SegmentVote | None = None,
 ) -> dict:
     """eval_scene_predictions over DEVICE-post-processed outputs
     (Trainer.build_eval_step_device_post): the heavy sigmoid/threshold work
     and the (N, Q) float transfer stay on device; the host unpacks bits and
-    runs the tiny topk + filtering."""
+    runs the tiny topk + filtering. With eval_on_segments the whole tail
+    runs in SEGMENT space (S ~ 10^2-10^3 rows instead of P ~ 10^5 points;
+    bit-identical results -- the vote, pairwise-overlap and separation
+    algebra all factor exactly through per-segment point counts)."""
     cls = np.asarray(probs, np.float64)[:, :-1]
     cls_scores, classes, query_idx = _topk_query_classes(cls, topk_per_image)
     scores = cls_scores * np.asarray(mask_scores, np.float64)[query_idx]
-    binary = np.unpackbits(np.asarray(packed_masks), axis=0)[:n_vox]
+    binary = np.unpackbits(np.asarray(packed_masks), axis=0, count=n_vox)
+    if eval_on_segments and point2segment_full is not None:
+        if seg_vote is None:
+            seg_vote = SegmentVote(inverse_map, point2segment_full)
+        seg_masks = seg_vote.vote(binary[:, query_idx])
+        return _postprocess_tail_segments(
+            scores, seg_masks, classes, seg_vote, filter_instances,
+            iou_threshold, scores_threshold, separate_instances,
+            segment_connectivity)
     masks = binary[:, query_idx].astype(np.float32)
     return _postprocess_tail(
         scores, masks, classes, inverse_map, point2segment_full,
         eval_on_segments, filter_instances, iou_threshold, scores_threshold,
         separate_instances, segment_connectivity)
+
+
+def _postprocess_tail_segments(scores, seg_masks, classes, sv: SegmentVote,
+                               filter_instances, iou_threshold,
+                               scores_threshold, separate_instances,
+                               segment_connectivity):
+    """_postprocess_tail in segment space. Numerically identical to the
+    full-res path: full-res masks are seg_masks gathered by p2s, so their
+    pairwise products are (seg_masks * counts)^T @ seg_masks with exact
+    integer counts (f32-exact below 2^24 points), emptiness and separation
+    factor the same way."""
+    order = np.argsort(-scores, kind="stable")
+    scores, classes = scores[order], classes[order]
+    seg_masks = seg_masks[:, order]
+
+    if filter_instances:
+        m32 = seg_masks.astype(np.float32)
+        weighted = m32 * sv.counts.astype(np.float32)[:, None]
+        pairwise = weighted.T @ m32
+        norm = pairwise / (pairwise.max(axis=0) + 1e-8)
+        sizes = weighted.sum(axis=0)
+        keep = []
+        for i in range(norm.shape[0]):
+            if scores[i] < scores_threshold:
+                continue
+            if sizes[i] == 0.0:
+                continue
+            overlap_ids = np.nonzero(norm[i] > iou_threshold)[0]
+            if len(overlap_ids) == 0 or i == overlap_ids.min():
+                keep.append(i)
+        if separate_instances and segment_connectivity is not None:
+            uniq = np.arange(sv.n_seg)
+            out_masks, out_scores, out_classes = [], [], []
+            for i in keep:
+                for comp in separate_segments(seg_masks[:, i], uniq,
+                                              segment_connectivity):
+                    m = np.zeros(sv.n_seg, bool)
+                    m[comp] = True
+                    out_masks.append(m)
+                    out_scores.append(scores[i])
+                    out_classes.append(classes[i])
+            if out_masks:
+                seg_masks = np.stack(out_masks, axis=1)
+                scores = np.asarray(out_scores)
+                classes = np.asarray(out_classes)
+            else:
+                seg_masks = np.zeros((sv.n_seg, 0), bool)
+                scores = np.zeros((0,))
+                classes = np.zeros((0,), np.int64)
+        else:
+            seg_masks = seg_masks[:, keep]
+            scores, classes = scores[keep], classes[keep]
+
+    return {"masks": seg_masks[sv.p2s], "classes": classes, "scores": scores}
 
 
 def _postprocess_tail(scores, masks, classes, inverse_map,

@@ -234,7 +234,8 @@ class Mask3D(nn.Module):
         coords_by_level = [batch.raw_coords]
         for lv in range(1, 5):
             coords_by_level.append(
-                conv_ops.avg_pool2(coords_by_level[-1], batch.graph.levels[lv])
+                conv_ops.avg_pool2(coords_by_level[-1], batch.graph.levels[lv],
+                                   fine=batch.graph.levels[lv - 1])
             )
 
         # ---- per-level positional encodings on flat voxels (ref :183-198)
@@ -334,7 +335,8 @@ class Mask3D(nn.Module):
         pooled_feats = [vox_feats]
         for lv in range(1, 5):
             pooled_feats.append(
-                conv_ops.avg_pool2(pooled_feats[-1], batch.graph.levels[lv])
+                conv_ops.avg_pool2(pooled_feats[-1], batch.graph.levels[lv],
+                                   fine=batch.graph.levels[lv - 1])
             )
 
         # ---- eval path: sampling is the identity, so the per-level attention

@@ -371,8 +371,7 @@ def sparse_conv1_down2(x: jnp.ndarray, w: jnp.ndarray, coarse: LevelGraph,
     return out.astype(x.dtype)
 
 
-def avg_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:
-    """MinkowskiAvgPooling(kernel_size=2, stride=2): mean over valid children."""
+def _avg_pool2_primal(x, coarse):
     cnt = coarse.child_valid.sum(axis=0).astype(x.dtype)
     if coarse.win_down is not None:
         from unscene3d_tpu.ops.window_gather import window_k_apply
@@ -384,6 +383,42 @@ def avg_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:
         s = g.sum(axis=0)
     out = s / jnp.maximum(cnt, 1.0)[:, None]
     return (out * coarse.valid[:, None].astype(x.dtype)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _avg_pool2(x, coarse, fine):
+    return _avg_pool2_primal(x, coarse)
+
+
+def _avg_pool2_fwd(x, coarse, fine):
+    return _avg_pool2(x, coarse, fine), (jnp.zeros((), x.dtype), coarse, fine)
+
+
+def _avg_pool2_bwd(res, g):
+    proto, coarse, fine = res
+    dtype = proto.dtype
+    # d mean-pool / dx[i] = g[parent(i)] / cnt[parent(i)]: a parent GATHER
+    # (scatter-free, and the windowed forward's Pallas kernel needs a
+    # custom VJP to be differentiable at all)
+    cnt = coarse.child_valid.sum(axis=0).astype(jnp.float32)
+    gm = (g.astype(jnp.float32) * coarse.valid[:, None].astype(jnp.float32)
+          / jnp.maximum(cnt, 1.0)[:, None])
+    dx = jnp.take(gm, fine.parent_idx, axis=0)
+    dx = dx * fine.valid[:, None].astype(jnp.float32)
+    return dx.astype(dtype), None, None
+
+
+_avg_pool2.defvjp(_avg_pool2_fwd, _avg_pool2_bwd)
+
+
+def avg_pool2(x: jnp.ndarray, coarse: LevelGraph,
+              fine: LevelGraph | None = None) -> jnp.ndarray:
+    """MinkowskiAvgPooling(kernel_size=2, stride=2): mean over valid children.
+    Pass the fine LevelGraph to enable the scatter-free custom VJP (required
+    to differentiate the windowed-select pooling path)."""
+    if fine is None:
+        return _avg_pool2_primal(x, coarse)
+    return _avg_pool2(x, coarse, fine)
 
 
 def sum_pool2(x: jnp.ndarray, coarse: LevelGraph) -> jnp.ndarray:

@@ -145,10 +145,9 @@ def up_tables_from_parents(parent_idx: np.ndarray, parent_offset: np.ndarray,
     """(8, N_fine) tables for the transposed conv: row i gathers its parent
     under offset table parent_offset[i], missing elsewhere."""
     n = len(parent_idx)
-    tables = np.full((8, n), n_in_pad - 1, np.int64)
-    for k in range(8):
-        sel = (parent_offset == k) & valid
-        tables[k, sel] = parent_idx[sel]
+    tables = np.full((8, n), n_in_pad - 1, np.int32)
+    rows = np.nonzero(valid)[0]
+    tables[parent_offset[rows], rows] = parent_idx[rows]
     return tables
 
 
