@@ -42,6 +42,9 @@ import numpy as np
 BASELINE_INFERENCE = 8.121   # scenes/s, derived (benchmarks/derive_baseline.py)
 BASELINE_PSEUDO = 4.923
 BASELINE_COMBINED = 3.065
+BASELINE_TRAIN = 4.988       # scenes/s through a batch-8 train step (fwd+bwd+
+                             # matcher+loss+AdamW at ~116k voxels/scene), same
+                             # maximally-generous A6000 roofline
 
 
 def bench_inference():
@@ -188,6 +191,65 @@ def bench_e2e(n_scenes: int = 4):
     return cold, warm
 
 
+def bench_train():
+    """Measured TRAIN-step throughput (fwd+bwd+matcher+loss+AdamW) on the
+    reference's dominant workload: ~116k voxels/scene (125k points @ 2cm),
+    the batch-8 step of scripts/unsupervised/train_unscene3d.sh:17
+    (VERDICT r3 next#4). Falls back to smaller batches if the dev chip's
+    HBM cannot hold batch 8 in f32; scenes/s normalizes by batch either way
+    (the baseline model is per-scene linear in batch too).
+    """
+    import jax
+
+    from main_instance_segmentation import build_experiment, get_parameters
+    from unscene3d_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    last_err = None
+    for batch in (8, 4, 2):
+        try:
+            cfg = get_parameters([
+                "data/datasets=synthetic",
+                f"data.batch_size={batch}",
+                "data.voxel_size=0.02",
+                # f32 train kernels at the 256-ch levels exceed the VMEM
+                # budget; win engine runs L0-2, scan covers the deep levels
+                "data.win_levels=[0,1,2]",
+                f"data.datasets.train_dataset.num_scenes={batch}",
+                "data.datasets.train_dataset.num_points=125000",
+                "data.datasets.train_dataset.extent=8.0",
+                "data.datasets.train_dataset.num_objects=12",
+                "data.datasets.validation_dataset.num_scenes=1",
+                "general.save_dir=/tmp/unscene3d_bench_train",
+                "trainer.max_epochs=1",
+            ])
+            exp = build_experiment(cfg)
+            batch_d = jax.tree.map(jax.device_put, exp._example_batch())
+            state = exp.trainer.init_state(batch_d, seed=0)
+            step_fn = exp.trainer.build_train_step()
+            rng = jax.random.PRNGKey(0)
+            state, losses = step_fn(state, batch_d, rng)
+            float(np.asarray(losses["total"]))  # compile + 1st step
+            times = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                state, losses = step_fn(state, batch_d, rng)
+                total = float(np.asarray(losses["total"]))
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times))
+            print(f"[bench] train: batch={batch} x ~116k voxels, "
+                  f"{dt*1e3:.0f} ms/step = {batch/dt:.2f} scenes/s "
+                  f"(baseline {BASELINE_TRAIN}), loss {total:.2f}",
+                  file=sys.stderr)
+            return dt / batch
+        except Exception as e:  # noqa: BLE001 - OOM/compile limits -> retry
+            last_err = e
+            print(f"[bench] train batch={batch} failed: {e!r}",
+                  file=sys.stderr)
+    print(f"[bench] train row failed entirely: {last_err!r}", file=sys.stderr)
+    return None
+
+
 def bench_pseudo(batch_scenes: int = 64, num_segments: int = 400,
                  solver: str | None = None):
     from unscene3d_tpu.pseudo.ncut import BatchedNCut, NCutConfig
@@ -237,6 +299,11 @@ def main():
     except Exception as e:  # the e2e row must never kill the headline metric
         print(f"[bench] e2e eval row failed: {e!r}", file=sys.stderr)
         e2e_cold = e2e_warm = None
+    try:
+        t_train = bench_train()
+    except Exception as e:
+        print(f"[bench] train row failed: {e!r}", file=sys.stderr)
+        t_train = None
     t_total = t_inf + t_pse
     combined = 1.0 / t_total
     print(
@@ -261,6 +328,11 @@ def main():
     if t_pse_eigh is not None:
         ce = 1.0 / (t_inf + t_pse_eigh)
         row["vs_baseline_eigh_solver"] = round(ce / BASELINE_COMBINED, 3)
+    if t_train is not None:
+        # measured batch-8 train step (fwd+bwd+matcher+loss+AdamW) vs the
+        # derived A6000 train roofline (benchmarks/derive_baseline.py)
+        row["train_scenes_per_sec"] = round(1.0 / t_train, 3)
+        row["train_vs_baseline"] = round((1.0 / t_train) / BASELINE_TRAIN, 3)
     print(json.dumps(row))
 
 

@@ -183,15 +183,97 @@ def derive_pseudo(num_segments=400, iters=20, verbose=True):
     return t
 
 
+def derive_train(scene_points=125_000, batch=8, verbose=True):
+    """Derive the reference's TRAIN-step time on A6000 (VERDICT r3 next#4).
+
+    Workload: Res16UNet34C fwd+bwd + Mask3D decoder + matcher + losses at
+    batch 8 x ~100k voxels (/root/reference/scripts/unsupervised/
+    train_unscene3d.sh:17, models/res16unet.py:224-297, trainer/trainer.py
+    :99-163). Same maximally-generous roofline as the inference model:
+
+      - forward convs: the measured sparse topology of a ~100k-voxel scene,
+        ME gather->GEMM->scatter dataflow, x batch.
+      - backward convs: dx is a conv with flipped weights (cout->cin, same
+        pairs); dW gathers both operands and accumulates a cin x cout GEMM.
+        Priced at the same roofline with NO extra overhead for ME's
+        transposed-kernel-map builds (real ME rebuilds/transposes maps).
+      - decoder train fwd+bwd: 12 rounds at sample_sizes (200..12800,
+        conf/model/mask3d.yaml:26) + 13 full-res mask modules; bwd = 2x fwd.
+      - matcher: 13 aux outputs x batch cost matrices (BCE+dice, Q=100 x
+        K~=20 x N points) on GPU; the 13xB CPU scipy LSAP round-trips are
+        priced at ZERO (they are sync host transfers in the reference).
+      - AdamW update: one read of params+grads+2 moments, one write of
+        params+moments (~40M params).
+      - BatchNorm/ReLU/aug/collate priced at ZERO.
+    """
+    from unscene3d_tpu.data.collate import FreeMaskCollator
+    from unscene3d_tpu.data.synthetic import make_scene
+
+    scene = make_scene(num_points=scene_points, num_objects=12, extent=8.0,
+                       seed=0)
+    _batch, _meta = FreeMaskCollator(voxel_size=0.02)([scene])
+    g = _batch.graph
+    n, p3, p2 = [], [], []
+    for lvl, L in enumerate(g.levels):
+        n.append(int(np.asarray(L.valid).sum()))
+        p3.append(int(np.asarray(L.nbr_valid).sum()))
+        p2.append(int(np.asarray(L.child_valid).sum()) if lvl > 0 else 0)
+
+    convs = enumerate_res16unet34c(n, p3, p2)
+    t_fwd = sum(conv_time(pairs, ci, co) for _, pairs, ci, co in convs)
+    # dx: same pair count, transposed channels; dW: gather x + gy rows, one
+    # cin x cout GEMM accumulation per offset (flops equal fwd; bandwidth =
+    # read both operand rows).
+    t_dx = sum(conv_time(pairs, co, ci) for _, pairs, ci, co in convs)
+    t_dw = sum(
+        max(2.0 * pairs * ci * co / A6000_GEMM,
+            pairs * (ci + co) * 4.0 / A6000_BW) + LAUNCH_OVERHEAD
+        for _, pairs, ci, co in convs)
+    t_conv = (t_fwd + t_dx + t_dw) * batch
+
+    # decoder: 12 attention rounds at train sample sizes + 13 mask modules
+    N = n[0]
+    sample = [200, 800, 3200, 12800]
+    att_flops = sum(
+        # cross-attn QK^T + AV (Q=100, S pts, d=128) + self-attn + 2 FFNs
+        2.0 * (2 * 100 * s * 128 + 2 * 100 * 100 * 128 + 100 * 128 * 1024 * 2)
+        for s in sample) * 3
+    mask_flops = 13 * 2.0 * N * 128 * 100
+    dec_flops = (att_flops + mask_flops) * 3.0  # fwd + bwd(2x)
+    t_decoder = dec_flops / A6000_GEMM * batch + 5e-3
+
+    # matcher cost matrices: 13 outputs x (BCE + dice) Q x N x K GEMMs
+    K = 20
+    match_flops = 13 * 2.0 * 2.0 * 100 * N * K
+    t_match = max(match_flops / A6000_GEMM,
+                  13 * N * (100 + K) * 4.0 / A6000_BW) * batch
+
+    # AdamW over ~39.2M params (Res16UNet34C + decoder)
+    params = 39.2e6
+    t_opt = params * 4.0 * 7.0 / A6000_BW
+
+    t = t_conv + t_decoder + t_match + t_opt + COORD_MANAGER * batch
+    if verbose:
+        print(f"[train] voxels/scene={n[0]} batch={batch}: conv fwd "
+              f"{t_fwd*1e3:.0f}ms dx {t_dx*1e3:.0f}ms dW {t_dw*1e3:.0f}ms "
+              f"(x{batch}) decoder {t_decoder*1e3:.1f}ms matcher "
+              f"{t_match*1e3:.1f}ms opt {t_opt*1e3:.1f}ms")
+        print(f"[train] step={t*1e3:.0f}ms -> {batch/t:.2f} scenes/s "
+              f"(A6000 roofline, zero host/collate/LSAP overheads)")
+    return t / batch  # seconds per scene
+
+
 def main():
     t_inf, *_ = derive_inference()
     t_pse = derive_pseudo()
+    t_trn = derive_train()
     t_total = t_inf + t_pse
     print(f"[combined] reference pseudo+inference: {t_total*1e3:.1f}ms/scene "
           f"-> {1.0/t_total:.3f} scenes/s  (BASELINE for bench.py)")
     print(f"BASELINE_INFERENCE_SCENES_PER_SEC = {1.0/t_inf:.3f}")
     print(f"BASELINE_PSEUDO_SCENES_PER_SEC = {1.0/t_pse:.3f}")
     print(f"BASELINE_COMBINED_SCENES_PER_SEC = {1.0/t_total:.3f}")
+    print(f"BASELINE_TRAIN_SCENES_PER_SEC = {1.0/t_trn:.3f}")
 
 
 if __name__ == "__main__":
