@@ -140,3 +140,63 @@ def test_win_graph_native_bit_identical(monkeypatch, w_sub, w_union):
         np.testing.assert_array_equal(np.asarray(getattr(g_nat, f)),
                                       np.asarray(getattr(g_np, f)), err_msg=f)
     assert g_nat.spill_q == g_np.spill_q
+
+
+@pytest.mark.parametrize("shuffled", [False, True])
+def test_neighbor_map_padded_matches_pad2(shuffled):
+    """build_neighbor_map_padded (native fused sentinel layout, plus its
+    numpy fallback) must equal the unpadded map + the masked pad2 sentinel
+    pass it replaces (ops/kernel_maps.py::_pad_level)."""
+    import unscene3d_tpu.native as nat
+    from unscene3d_tpu.ops.kernel_maps import (
+        build_neighbor_map,
+        build_neighbor_map_padded,
+    )
+
+    rng = np.random.default_rng(11)
+    coords = np.unique(np.concatenate(
+        [np.zeros((800, 1), np.int64), rng.integers(0, 30, (800, 3))], 1),
+        axis=0).astype(np.int32)
+    if shuffled:
+        coords = coords[rng.permutation(len(coords))]
+    n, n_pad = len(coords), ((len(coords) // 128) + 2) * 128
+    idx, val = build_neighbor_map(coords, use_native=False)
+    ref = np.empty((27, n_pad), np.int32)
+    ref[:, n:] = n_pad - 1
+    ref[:, :n] = np.where(val, idx, n_pad - 1)
+    got = build_neighbor_map_padded(coords, n_pad)
+    np.testing.assert_array_equal(ref, got)
+    # numpy fallback path too
+    orig = nat.build_neighbor_map_padded_native
+    try:
+        nat.build_neighbor_map_padded_native = lambda *a: None
+        got_np = build_neighbor_map_padded(coords, n_pad)
+    finally:
+        nat.build_neighbor_map_padded_native = orig
+    np.testing.assert_array_equal(ref, got_np)
+
+
+def test_sparse_graph_child_maps_match_downsample_scatter():
+    """The parent-scatter child build in build_sparse_graph must equal
+    build_downsample_map's child arrays + the pad2 sentinel pass."""
+    from unscene3d_tpu.ops.kernel_maps import (
+        build_downsample_map,
+        build_sparse_graph,
+    )
+
+    rng = np.random.default_rng(5)
+    coords = np.unique(np.concatenate(
+        [rng.integers(0, 2, (2000, 1)), rng.integers(0, 50, (2000, 3))], 1),
+        axis=0)
+    g = build_sparse_graph(coords, num_levels=3)
+    fine = coords
+    for li in range(1, 3):
+        coarse, p_idx, p_off, c_idx, c_valid = build_downsample_map(fine)
+        n, n_pad = len(coarse), g.levels[li].num_padded
+        fill = g.levels[li - 1].num_padded - 1
+        ref = np.empty((8, n_pad), np.int32)
+        ref[:, n:] = fill
+        ref[:, :n] = np.where(c_valid, c_idx, fill)
+        np.testing.assert_array_equal(
+            ref, np.asarray(g.levels[li].child_idx), err_msg=f"level {li}")
+        fine = coarse.astype(np.int64)

@@ -84,6 +84,14 @@ def load_native():
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
             ]
+        if hasattr(_LIB, "build_neighbor_map_padded"):
+            _LIB.build_neighbor_map_padded.restype = ctypes.c_int
+            _LIB.build_neighbor_map_padded.argtypes = [
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
         if hasattr(_LIB, "furthest_point_sample"):
             _LIB.furthest_point_sample.restype = ctypes.c_int
             _LIB.furthest_point_sample.argtypes = [
@@ -171,6 +179,26 @@ def build_neighbor_map_native(coords: np.ndarray, offsets: np.ndarray):
     if rc != 0:
         return None
     return out_idx, out_valid.astype(bool)
+
+
+def build_neighbor_map_padded_native(coords: np.ndarray, offsets: np.ndarray,
+                                     n_pad: int, fill: int):
+    """C++ neighbor map written straight into its padded (K, n_pad) layout
+    with `fill` at misses and in the padding tail; returns int32 array or
+    None when the native lib is unavailable."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "build_neighbor_map_padded"):
+        return None
+    coords = np.ascontiguousarray(coords, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    n, k = len(coords), len(offsets)
+    out_idx = np.empty((k, n_pad), np.int32)
+    rc = lib.build_neighbor_map_padded(
+        _cptr(coords, ctypes.c_int), n,
+        _cptr(offsets, ctypes.c_int), k,
+        int(n_pad), int(fill), _cptr(out_idx, ctypes.c_int),
+    )
+    return out_idx if rc == 0 else None
 
 
 def furthest_point_sample_native(xyz: np.ndarray, valid: np.ndarray,

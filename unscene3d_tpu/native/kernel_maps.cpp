@@ -126,6 +126,59 @@ int build_neighbor_map(const int* coords, int n,
     return 0;
 }
 
+// Padded variant: writes (k, n_pad) rows directly with `fill` at misses and
+// in the padding tail [n, n_pad). Fuses build_neighbor_map with the
+// _pad_level sentinel pass (ops/kernel_maps.py::_pad_level::pad2), which was
+// a second full read+masked-write over ~22MB per level on the 200k scene.
+int build_neighbor_map_padded(const int* coords, int n,
+                              const int* offsets, int k,
+                              int n_pad, int fill, int* out_idx) {
+    if (n_pad < n || n < 0) return 1;
+    std::vector<uint64_t> keys(n);
+    bool sorted = true;
+    for (int i = 0; i < n; ++i) {
+        const int* c = coords + 4L * i;
+        keys[i] = ravel(c[0], c[1], c[2], c[3]);
+        if (i && keys[i] <= keys[i - 1]) sorted = false;
+    }
+    if (sorted) {
+#pragma omp parallel for schedule(dynamic, 1)
+        for (int o = 0; o < k; ++o) {
+            const int dx = offsets[3 * o], dy = offsets[3 * o + 1],
+                      dz = offsets[3 * o + 2];
+            const int64_t delta =
+                (static_cast<int64_t>(dx) << (2 * kCoordBits)) +
+                (static_cast<int64_t>(dy) << kCoordBits) +
+                static_cast<int64_t>(dz);
+            int* row = out_idx + static_cast<long>(o) * n_pad;
+            int j = 0;
+            for (int i = 0; i < n; ++i) {
+                const uint64_t q =
+                    static_cast<uint64_t>(static_cast<int64_t>(keys[i]) + delta);
+                while (j < n && keys[j] < q) ++j;
+                row[i] = (j < n && keys[j] == q) ? j : fill;
+            }
+            for (int i = n; i < n_pad; ++i) row[i] = fill;
+        }
+        return 0;
+    }
+    FlatMap map(n > 0 ? n : 1);
+    for (int i = 0; i < n; ++i) map.insert(keys[i], i);
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int o = 0; o < k; ++o) {
+        const int dx = offsets[3 * o], dy = offsets[3 * o + 1],
+                  dz = offsets[3 * o + 2];
+        int* row = out_idx + static_cast<long>(o) * n_pad;
+        for (int i = 0; i < n; ++i) {
+            const int* c = coords + 4L * i;
+            const int32_t j = map.find(ravel(c[0], c[1] + dx, c[2] + dy, c[3] + dz));
+            row[i] = j >= 0 ? j : fill;
+        }
+        for (int i = n; i < n_pad; ++i) row[i] = fill;
+    }
+    return 0;
+}
+
 // ------------------------------------------------------------------------
 // Windowed-select k3 table builder inner passes (ops/window_conv.py::
 // build_win_graph). The numpy formulation costs ~1.4 s/scene on the bench

@@ -63,8 +63,31 @@ def build_neighbor_map(coords: np.ndarray, use_native: bool = True
     return nbr_idx, nbr_valid
 
 
+def build_neighbor_map_padded(coords: np.ndarray, n_pad: int) -> np.ndarray:
+    """Kernel-size-3 map emitted straight in its padded (27, n_pad) layout:
+    misses and the padding tail point at row n_pad-1 (always a padding row
+    under the bucketing contract, see _pad_level). Fuses the map build with
+    the sentinel pass -- the separate masked pad2 copy cost ~80ms/level on
+    the 200k bench scene."""
+    from unscene3d_tpu.native import build_neighbor_map_padded_native
+
+    coords = np.asarray(coords, np.int32)
+    assert n_pad > len(coords)
+    out = build_neighbor_map_padded_native(coords, KERNEL3_OFFSETS,
+                                           int(n_pad), int(n_pad - 1))
+    if out is not None:
+        return out
+    idx, valid = build_neighbor_map(coords)
+    n = len(coords)
+    out = np.empty((27, n_pad), np.int32)
+    out[:, n:] = n_pad - 1
+    out[:, :n] = np.where(valid, idx, np.int32(n_pad - 1))
+    return out
+
+
 def build_downsample_map(
     coords: np.ndarray,
+    with_child: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Stride-2 (kernel_size=2) downsample topology.
 
@@ -75,6 +98,10 @@ def build_downsample_map(
       parent_offset: (N,) kernel offset id in [0, 8)
       child_idx:     (8, M) fine index of each coarse voxel's child per offset
       child_valid:   (8, M)
+
+    with_child=False skips the child arrays (returned as (8, 0)):
+    build_sparse_graph derives the padded child map with one scatter from
+    the parent maps instead, so building them here would be dead work.
     """
     coords = np.asarray(coords, dtype=np.int64)
     parents = coords.copy()
@@ -86,10 +113,14 @@ def build_downsample_map(
     off = (
         (coords[:, 1] & 1) * 4 + (coords[:, 2] & 1) * 2 + (coords[:, 3] & 1)
     ).astype(np.int32)
-    child_idx = np.zeros((8, m), dtype=np.int32)
-    child_valid = np.zeros((8, m), dtype=bool)
-    child_idx[off, inverse] = np.arange(len(coords), dtype=np.int32)
-    child_valid[off, inverse] = True
+    if with_child:
+        child_idx = np.zeros((8, m), dtype=np.int32)
+        child_valid = np.zeros((8, m), dtype=bool)
+        child_idx[off, inverse] = np.arange(len(coords), dtype=np.int32)
+        child_valid[off, inverse] = True
+    else:
+        child_idx = np.zeros((8, 0), dtype=np.int32)
+        child_valid = np.zeros((8, 0), dtype=bool)
     return (
         coarse_coords,
         inverse.astype(np.int32),
@@ -111,19 +142,25 @@ def _pad_level(
     finer_n_pad: int,
     coarser_n_pad: int,
     stub_nbr: bool = False,
+    nbr_prepadded: np.ndarray | None = None,
+    child_prepadded: np.ndarray | None = None,
 ) -> LevelGraph:
     """Missing/padded map entries point at the respective level's LAST row,
     which bucketing guarantees to be padding -- validity is then derivable on
     device (LevelGraph.nbr_valid/child_valid properties) and the bool masks
-    never cross the host->device link."""
+    never cross the host->device link.
+
+    nbr_prepadded/child_prepadded: maps already in their padded sentinel
+    layout (build_neighbor_map_padded / the parent-scatter child build in
+    build_sparse_graph); the masked pad2 copies are skipped for those."""
     n = len(coords)
     assert n_pad > n, "bucketing must leave at least one padding row"
 
     def pad2(idx, valid, fill):
         out = np.empty((idx.shape[0], n_pad), dtype=np.int32)
         out[:, n:] = fill
-        np.copyto(out[:, :n], idx.astype(np.int32, copy=False))
-        np.copyto(out[:, :n], fill, where=~valid)
+        out[:, :n] = np.where(valid, idx.astype(np.int32, copy=False),
+                              np.int32(fill))
         return out
 
     coords_p = np.zeros((n_pad, 4), dtype=np.int32)
@@ -134,13 +171,23 @@ def _pad_level(
     parent_idx_p[:n] = parent_idx
     parent_off_p = np.zeros(n_pad, dtype=np.int32)
     parent_off_p[:n] = parent_offset
-    nbr_p = (np.full((27, 1), n_pad - 1, np.int32) if stub_nbr
-             else pad2(nbr_idx, nbr_valid, n_pad - 1))
+    if stub_nbr:
+        nbr_p = np.full((27, 1), n_pad - 1, np.int32)
+    elif nbr_prepadded is not None:
+        assert nbr_prepadded.shape == (27, n_pad)
+        nbr_p = nbr_prepadded
+    else:
+        nbr_p = pad2(nbr_idx, nbr_valid, n_pad - 1)
+    if child_prepadded is not None:
+        assert child_prepadded.shape == (8, n_pad)
+        child_p = child_prepadded
+    else:
+        child_p = pad2(child_idx, child_valid, max(finer_n_pad - 1, 0))
     return LevelGraph(
         coords=coords_p,
         valid=valid,
         nbr_idx=nbr_p,
-        child_idx=pad2(child_idx, child_valid, max(finer_n_pad - 1, 0)),
+        child_idx=child_p,
         parent_idx=parent_idx_p,
         parent_offset=parent_off_p,
         finer_num_padded=finer_n_pad,
@@ -207,14 +254,13 @@ def build_sparse_graph(
     """
     coords = np.asarray(coords, dtype=np.int64)
     level_coords = [coords]
-    parent_idxs, parent_offs, child_idxs, child_valids = [], [], [], []
+    parent_idxs, parent_offs = [], []
     for _ in range(num_levels - 1):
-        coarse, p_idx, p_off, c_idx, c_valid = build_downsample_map(level_coords[-1])
+        coarse, p_idx, p_off, _, _ = build_downsample_map(
+            level_coords[-1], with_child=False)
         level_coords.append(coarse.astype(np.int64))
         parent_idxs.append(p_idx)
         parent_offs.append(p_off)
-        child_idxs.append(c_idx)
-        child_valids.append(c_valid)
 
     pads = [
         pad_sizes[li] if pad_sizes is not None
@@ -231,27 +277,35 @@ def build_sparse_graph(
     for li in range(num_levels):
         lc = level_coords[li].astype(np.int32)
         n = len(lc)
+        nbr_pre = None
         if build_nbr_maps and li not in brick_levels:
-            nbr_idx, nbr_valid = build_neighbor_map(lc)
-        else:
-            nbr_idx = np.zeros((27, 0), dtype=np.int32)
-            nbr_valid = np.zeros((27, 0), dtype=bool)
+            nbr_pre = build_neighbor_map_padded(lc, pads[li])
+        # child map straight in its padded layout from the parent maps: each
+        # fine voxel i is its parent's unique (offset-id) child, so ONE
+        # scatter over the fine rows replaces build_downsample_map's child
+        # arrays + the masked pad2 copy (exact same result; equality-tested
+        # in tests/test_native.py)
         if li == 0:
-            c_idx = np.zeros((8, n), dtype=np.int32)
-            c_valid = np.zeros((8, n), dtype=bool)
+            c_pre = np.zeros((8, pads[0]), dtype=np.int32)
         else:
-            c_idx, c_valid = child_idxs[li - 1], child_valids[li - 1]
+            n_fine = len(level_coords[li - 1])
+            c_pre = np.full((8, pads[li]), pads[li - 1] - 1, dtype=np.int32)
+            c_pre[parent_offs[li - 1][:n_fine],
+                  parent_idxs[li - 1][:n_fine]] = np.arange(
+                      n_fine, dtype=np.int32)
         if li == num_levels - 1:
             p_idx = np.zeros(n, dtype=np.int32)
             p_off = np.zeros(n, dtype=np.int32)
         else:
             p_idx, p_off = parent_idxs[li], parent_offs[li]
         lvl = _pad_level(
-            lc, nbr_idx, nbr_valid, c_idx, c_valid, p_idx, p_off,
+            lc, None, None, None, None, p_idx, p_off,
             n_pad=pads[li],
             finer_n_pad=pads[li - 1] if li > 0 else 1,
             coarser_n_pad=pads[li + 1] if li < num_levels - 1 else 1,
             stub_nbr=(li in brick_levels or not build_nbr_maps),
+            nbr_prepadded=nbr_pre,
+            child_prepadded=c_pre,
         )
         if li in brick_levels:
             from unscene3d_tpu.ops.bricks import build_brick_map
