@@ -1,6 +1,6 @@
 """Benchmark: UnScene3D pipeline throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Metric: combined scenes/s through BOTH halves of the UnScene3D pipeline
 (BASELINE.json: "per-scene pseudo-mask + inference throughput"):
@@ -12,6 +12,12 @@ Metric: combined scenes/s through BOTH halves of the UnScene3D pipeline
       pseudo_masks/unscene3d_pseudo_main.py:405-502.
 
 combined scenes/s = 1 / (t_inference + t_pseudo) per scene.
+
+CRASH CONTAINMENT (VERDICT r4 next#3): every row runs in its OWN
+subprocess (`python bench.py --row NAME`), so one kernel fault or a
+degraded TPU worker cannot poison the other rows or suppress the headline
+JSON. A known-cost matmul gates the chip first; if it lands >3x off the
+healthy envelope the run is retried once and flagged `degraded_chip`.
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md), so the
 A6000 baseline is DERIVED by benchmarks/derive_baseline.py from this scene's
@@ -32,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -45,6 +52,44 @@ BASELINE_COMBINED = 3.065
 BASELINE_TRAIN = 4.988       # scenes/s through a batch-8 train step (fwd+bwd+
                              # matcher+loss+AdamW at ~116k voxels/scene), same
                              # maximally-generous A6000 roofline
+
+# healthy per-iteration time of the gate matmul on this chip class
+# (measured 0.19ms on the dev v5e; see bench_gate). The gate flags at
+# 3x this envelope: the r4 degraded-worker capture ran ~24x off.
+GATE_HEALTHY_MS = 1.0
+ROW_TIMEOUT_S = {"gate": 420, "inference": 1500, "pseudo": 1200,
+                 "pseudo_eigh": 1200, "e2e": 1800, "train": 2400}
+
+
+def bench_gate():
+    """Chip sanity: K iterations of a 2048^3 bf16 matmul (17.2 GFLOP each).
+    A healthy v5e runs one in well under GATE_HEALTHY_MS; a degraded or
+    restarted TPU worker lands an order of magnitude off."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 2048
+    K = 256
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n)).astype(jnp.bfloat16)
+
+    def body(a):
+        a = jax.lax.fori_loop(0, K, lambda i, a: (a @ a) * (1.0 / n), a)
+        return a.astype(jnp.float32).sum()
+
+    f = jax.jit(body)
+    # the scalar fetch (float()) is what forces completion: through the
+    # axon dev tunnel block_until_ready returns before the work finishes
+    float(f(a))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(a))
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) / K * 1e3
+    print(f"[bench] gate: 2048^3 bf16 matmul {ms:.2f} ms/iter "
+          f"(healthy <= {GATE_HEALTHY_MS}ms, degraded > 3x)",
+          file=sys.stderr)
+    return {"ms": ms}
 
 
 def bench_inference():
@@ -194,60 +239,81 @@ def bench_e2e(n_scenes: int = 4):
 def bench_train():
     """Measured TRAIN-step throughput (fwd+bwd+matcher+loss+AdamW) on the
     reference's dominant workload: ~116k voxels/scene (125k points @ 2cm),
-    the batch-8 step of scripts/unsupervised/train_unscene3d.sh:17
-    (VERDICT r3 next#4). Falls back to smaller batches if the dev chip's
-    HBM cannot hold batch 8 in f32; scenes/s normalizes by batch either way
-    (the baseline model is per-scene linear in batch too).
+    the batch-8 step of scripts/unsupervised/train_unscene3d.sh:17.
+
+    The windowed-conv engine self-sizes its VMEM budget now (r5: the f32
+    256-channel levels raise the scoped limit via CompilerParams instead of
+    OOMing), so the flagship batch runs with the full win engine -- no
+    level exclusions. Also reports host_wait_ms: median time the device
+    step sat waiting on the prefetcher in a short feed run (VERDICT r4
+    next#6); on this 1-core dev host collate cannot fully hide, a real
+    multi-core host prefetches in parallel.
     """
     import jax
 
     from main_instance_segmentation import build_experiment, get_parameters
-    from unscene3d_tpu.utils.runtime import enable_compilation_cache
+    from unscene3d_tpu.train.experiment import Prefetcher, _EpochSampler
 
-    enable_compilation_cache()
-    last_err = None
-    for batch in (8, 4, 2):
-        try:
-            cfg = get_parameters([
-                "data/datasets=synthetic",
-                f"data.batch_size={batch}",
-                "data.voxel_size=0.02",
-                # f32 train kernels at the 256-ch levels exceed the VMEM
-                # budget; win engine runs L0-2, scan covers the deep levels
-                "data.win_levels=[0,1,2]",
-                f"data.datasets.train_dataset.num_scenes={batch}",
-                "data.datasets.train_dataset.num_points=125000",
-                "data.datasets.train_dataset.extent=8.0",
-                "data.datasets.train_dataset.num_objects=12",
-                "data.datasets.validation_dataset.num_scenes=1",
-                "general.save_dir=/tmp/unscene3d_bench_train",
-                "trainer.max_epochs=1",
-            ])
-            exp = build_experiment(cfg)
-            batch_d = jax.tree.map(jax.device_put, exp._example_batch())
-            state = exp.trainer.init_state(batch_d, seed=0)
-            step_fn = exp.trainer.build_train_step()
-            rng = jax.random.PRNGKey(0)
-            state, losses = step_fn(state, batch_d, rng)
-            float(np.asarray(losses["total"]))  # compile + 1st step
-            times = []
-            for _ in range(6):
-                t0 = time.perf_counter()
-                state, losses = step_fn(state, batch_d, rng)
-                total = float(np.asarray(losses["total"]))
-                times.append(time.perf_counter() - t0)
-            dt = float(np.median(times))
-            print(f"[bench] train: batch={batch} x ~116k voxels, "
-                  f"{dt*1e3:.0f} ms/step = {batch/dt:.2f} scenes/s "
-                  f"(baseline {BASELINE_TRAIN}), loss {total:.2f}",
-                  file=sys.stderr)
-            return dt / batch
-        except Exception as e:  # noqa: BLE001 - OOM/compile limits -> retry
-            last_err = e
-            print(f"[bench] train batch={batch} failed: {e!r}",
-                  file=sys.stderr)
-    print(f"[bench] train row failed entirely: {last_err!r}", file=sys.stderr)
-    return None
+    win = os.environ.get("UNSCENE3D_BENCH_WIN", "[0,1,2,3,4]")
+    batch = int(os.environ.get("UNSCENE3D_BENCH_TRAIN_BATCH", "8"))
+    cfg = get_parameters([
+        "data/datasets=synthetic",
+        f"data.batch_size={batch}",
+        "data.voxel_size=0.02",
+        f"data.win_levels={win}",
+        "data.num_workers=2",
+        f"data.datasets.train_dataset.num_scenes={batch}",
+        "data.datasets.train_dataset.num_points=125000",
+        "data.datasets.train_dataset.extent=8.0",
+        "data.datasets.train_dataset.num_objects=12",
+        "data.datasets.validation_dataset.num_scenes=1",
+        "general.save_dir=/tmp/unscene3d_bench_train",
+        "trainer.max_epochs=1",
+    ])
+    exp = build_experiment(cfg)
+    batch_d = jax.tree.map(jax.device_put, exp._example_batch())
+    state = exp.trainer.init_state(batch_d, seed=0)
+    step_fn = exp.trainer.build_train_step()
+    rng = jax.random.PRNGKey(0)
+    state, losses = step_fn(state, batch_d, rng)
+    total = float(np.asarray(losses["total"]))  # compile + 1st step
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        state, losses = step_fn(state, batch_d, rng)
+        total = float(np.asarray(losses["total"]))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"[bench] train: batch={batch} x ~116k voxels win={win}, "
+          f"{dt*1e3:.0f} ms/step = {batch/dt:.2f} scenes/s "
+          f"(baseline {BASELINE_TRAIN}), loss {total:.2f}",
+          file=sys.stderr)
+
+    # steady-state feed: device step overlapped with prefetcher-fed collate
+    # (augmentation redraws make every batch real work)
+    sampler = _EpochSampler(len(exp.train_dataset), np.random.RandomState(0))
+    n_feed = 4
+    ids = [exp._draw_step_ids(sampler) for _ in range(n_feed)]
+    pf = Prefetcher(lambda i: exp._train_batch_from(ids[i]), n_feed,
+                    num_workers=2)
+    waits, steps = [], []
+    it = iter(pf)
+    pending = None
+    for i in range(n_feed):
+        t0 = time.perf_counter()
+        b = next(it)
+        waits.append(time.perf_counter() - t0)
+        if pending is not None:
+            float(np.asarray(pending[1]["total"]))  # force completion
+        t0 = time.perf_counter()
+        pending = step_fn(state, b, rng)
+        steps.append(time.perf_counter() - t0)
+    float(np.asarray(pending[1]["total"]))
+    host_wait_ms = float(np.median(waits[1:])) * 1e3
+    print(f"[bench] train feed: host_wait {host_wait_ms:.0f}ms/step "
+          f"(dispatch {np.median(steps)*1e3:.0f}ms; 1-core dev host -- "
+          f"collate parallelism is capped at 1)", file=sys.stderr)
+    return {"t": dt / batch, "batch": batch, "host_wait_ms": host_wait_ms}
 
 
 def bench_pseudo(batch_scenes: int = 64, num_segments: int = 400,
@@ -281,60 +347,130 @@ def bench_pseudo(batch_scenes: int = 64, num_segments: int = 400,
     return dt
 
 
-def main():
+def _row_main(name: str):
+    """Child process: run ONE row, print its JSON result on stdout."""
     from unscene3d_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    t_inf = bench_inference()
-    t_pse = bench_pseudo()
-    # bracket: same metric with the exact reference-equivalent eigensolver
-    # (solver-agreement study: benchmarks/ncut_solver_agreement.py)
-    try:
-        t_pse_eigh = bench_pseudo(solver="eigh")
-    except Exception as e:
-        print(f"[bench] eigh bracket failed: {e!r}", file=sys.stderr)
-        t_pse_eigh = None
-    try:
-        e2e_cold, e2e_warm = bench_e2e()
-    except Exception as e:  # the e2e row must never kill the headline metric
-        print(f"[bench] e2e eval row failed: {e!r}", file=sys.stderr)
-        e2e_cold = e2e_warm = None
-    try:
-        t_train = bench_train()
-    except Exception as e:
-        print(f"[bench] train row failed: {e!r}", file=sys.stderr)
-        t_train = None
-    t_total = t_inf + t_pse
-    combined = 1.0 / t_total
-    print(
-        f"[bench] combined: inference {1/t_inf:.2f} scenes/s "
-        f"(baseline {BASELINE_INFERENCE}), pseudo {1/t_pse:.2f} scenes/s "
-        f"(baseline {BASELINE_PSEUDO}), combined {combined:.3f} scenes/s "
-        f"(baseline {BASELINE_COMBINED})",
-        file=sys.stderr,
-    )
+    if name == "gate":
+        out = bench_gate()
+    elif name == "inference":
+        out = {"t": bench_inference()}
+    elif name == "pseudo":
+        out = {"t": bench_pseudo()}
+    elif name == "pseudo_eigh":
+        out = {"t": bench_pseudo(solver="eigh")}
+    elif name == "e2e":
+        cold, warm = bench_e2e()
+        out = {"cold": cold, "warm": warm}
+    elif name == "train":
+        out = bench_train()
+    else:
+        raise SystemExit(f"unknown row {name}")
+    print(json.dumps(out), flush=True)
+
+
+def _run_row(name: str, retries: int = 0):
+    """Run one row in a subprocess; returns its JSON dict or None. A row
+    crash (kernel fault, worker restart, OOM) cannot take the other rows or
+    the headline down with it."""
+    for attempt in range(retries + 1):
+        cmd = [sys.executable, os.path.abspath(__file__), "--row", name]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=ROW_TIMEOUT_S.get(name, 1200))
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write((e.stderr or b"").decode()
+                             if isinstance(e.stderr, bytes)
+                             else (e.stderr or ""))
+            print(f"[bench] row {name} timed out "
+                  f"(attempt {attempt + 1})", file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr)
+        out = None
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                out = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if r.returncode == 0 and out is not None:
+            return out
+        print(f"[bench] row {name} failed rc={r.returncode} "
+              f"(attempt {attempt + 1})", file=sys.stderr)
+    return None
+
+
+def main():
+    # NOTE: the parent deliberately never initializes jax -- each row owns
+    # the chip for its lifetime and releases it on exit
+    errors = []
+    gate = _run_row("gate")
+    degraded = gate is None or gate["ms"] > 3 * GATE_HEALTHY_MS
+    if degraded:
+        print("[bench] gate off-envelope; retrying once", file=sys.stderr)
+        gate = _run_row("gate")
+        degraded = gate is None or gate["ms"] > 3 * GATE_HEALTHY_MS
+
+    inf = _run_row("inference", retries=1)
+    pse = _run_row("pseudo", retries=1)
+    pse_eigh = _run_row("pseudo_eigh")
+    e2e = _run_row("e2e")
+    train = _run_row("train", retries=1)
+
     row = {
         "metric": "pseudo_plus_inference_scenes_per_sec",
-        "value": round(combined, 3),
+        "value": 0.0,
         "unit": "scenes/s",
-        "vs_baseline": round(combined / BASELINE_COMBINED, 3),
+        "vs_baseline": 0.0,
     }
-    if e2e_cold is not None:
+    if inf and pse:
+        combined = 1.0 / (inf["t"] + pse["t"])
+        print(
+            f"[bench] combined: inference {1/inf['t']:.2f} scenes/s "
+            f"(baseline {BASELINE_INFERENCE}), pseudo {1/pse['t']:.2f} "
+            f"scenes/s (baseline {BASELINE_PSEUDO}), combined "
+            f"{combined:.3f} scenes/s (baseline {BASELINE_COMBINED})",
+            file=sys.stderr,
+        )
+        row["value"] = round(combined, 3)
+        row["vs_baseline"] = round(combined / BASELINE_COMBINED, 3)
+    else:
+        errors += [n for n, v in (("inference", inf), ("pseudo", pse))
+                   if v is None]
+    if e2e:
         # host-inclusive end-to-end eval rates (see bench_e2e docstring);
         # cold pays this harness's dev-tunnel transfer (~2s/scene of relay
         # overhead real hosts don't), warm is the steady-state eval rate
-        row["e2e_eval_cold_scenes_per_sec"] = round(1.0 / e2e_cold, 3)
-        row["e2e_eval_warm_scenes_per_sec"] = round(1.0 / e2e_warm, 3)
-    if t_pse_eigh is not None:
-        ce = 1.0 / (t_inf + t_pse_eigh)
+        row["e2e_eval_cold_scenes_per_sec"] = round(1.0 / e2e["cold"], 3)
+        row["e2e_eval_warm_scenes_per_sec"] = round(1.0 / e2e["warm"], 3)
+    elif e2e is None:
+        errors.append("e2e")
+    if pse_eigh and inf:
+        # bracket: same metric with the exact reference-equivalent
+        # eigensolver (benchmarks/ncut_solver_agreement.py)
+        ce = 1.0 / (inf["t"] + pse_eigh["t"])
         row["vs_baseline_eigh_solver"] = round(ce / BASELINE_COMBINED, 3)
-    if t_train is not None:
+    if train:
         # measured batch-8 train step (fwd+bwd+matcher+loss+AdamW) vs the
         # derived A6000 train roofline (benchmarks/derive_baseline.py)
-        row["train_scenes_per_sec"] = round(1.0 / t_train, 3)
-        row["train_vs_baseline"] = round((1.0 / t_train) / BASELINE_TRAIN, 3)
+        row["train_scenes_per_sec"] = round(1.0 / train["t"], 3)
+        row["train_vs_baseline"] = round((1.0 / train["t"]) / BASELINE_TRAIN, 3)
+        row["train_batch"] = train["batch"]
+        row["train_host_wait_ms"] = round(train["host_wait_ms"], 1)
+    else:
+        errors.append("train")
+    if degraded:
+        row["degraded_chip"] = True
+        if gate:
+            row["gate_ms"] = round(gate["ms"], 2)
+    if errors:
+        row["failed_rows"] = errors
     print(json.dumps(row))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
+        _row_main(sys.argv[2])
+    else:
+        main()

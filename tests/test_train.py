@@ -71,13 +71,47 @@ def test_multichip_dp_step():
     state = trainer.init_state(shards[0])
     step = trainer.build_train_step()
     rng = jax.random.PRNGKey(0)
-    state, losses = step(state, stacked, rng)
-    state, losses = step(state, stacked, jax.random.fold_in(rng, 1))
+    state1, losses = step(state, stacked, rng)
+    state2, losses = step(state1, stacked, jax.random.fold_in(rng, 1))
     assert np.isfinite(float(losses["total"]))
-    assert int(state.step) == 2
+    assert int(state2.step) == 2
     # params stay replicated and finite
-    leaf = jax.tree.leaves(state.params)[0]
+    leaf = jax.tree.leaves(state2.params)[0]
     assert bool(jnp.isfinite(leaf).all())
+
+    # DP-EQUIVALENCE ORACLE (VERDICT r4 next#4, finiteness alone cannot
+    # detect a dropped pmean): the shard_mapped step must equal per-shard
+    # grads -- with the step's own per-shard rng folding -- averaged on a
+    # single device, then one optimizer update.
+    import optax
+
+    grad_fn = jax.jit(jax.value_and_grad(trainer._loss_fn, has_aux=True))
+    mean_g, mean_bs, mean_losses = None, None, None
+    for d, shard in enumerate(shards):
+        (_, (ls, bs)), g = grad_fn(
+            state.params, state.batch_stats, state.buffers, shard,
+            jax.random.fold_in(rng, d))
+        mean_g = g if mean_g is None else jax.tree.map(jnp.add, mean_g, g)
+        mean_bs = bs if mean_bs is None else jax.tree.map(jnp.add, mean_bs, bs)
+        mean_losses = (ls if mean_losses is None
+                       else jax.tree.map(jnp.add, mean_losses, ls))
+    mean_g = jax.tree.map(lambda x: x / 8, mean_g)
+    mean_bs = jax.tree.map(lambda x: x / 8, mean_bs)
+    mean_losses = jax.tree.map(lambda x: x / 8, mean_losses)
+    updates, _ = trainer.tx.update(mean_g, state.opt_state, state.params)
+    want = optax.apply_updates(state.params, updates)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    # losses and BN stats are pmean'd too
+    np.testing.assert_allclose(float(mean_losses["total"]),
+                               float(jax.device_get(
+                                   step(state, stacked, rng)[1]["total"])),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(mean_bs),
+                    jax.tree.leaves(state1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
 
 
 def test_prefetcher_multiworker_order_and_equality():

@@ -133,7 +133,11 @@ int build_neighbor_map(const int* coords, int n,
 int build_neighbor_map_padded(const int* coords, int n,
                               const int* offsets, int k,
                               int n_pad, int fill, int* out_idx) {
-    if (n_pad < n || n < 0) return 1;
+    // n_pad == n would alias fill = n_pad-1 onto a REAL data row, silently
+    // violating the sentinel contract (missing entries must point at a
+    // padding row) -- require at least one padding row here, not just in
+    // the Python wrapper's assert (ADVICE r4).
+    if (n_pad <= n || n < 0) return 1;
     std::vector<uint64_t> keys(n);
     bool sorted = true;
     for (int i = 0; i < n; ++i) {

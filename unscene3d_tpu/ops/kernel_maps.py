@@ -322,46 +322,67 @@ def build_sparse_graph(
                 pb=(csr_pbs[li] or None) if csr_pbs else None,
             ))
         if li in win_levels and pads[li] >= 2 * win_tile:
-            from unscene3d_tpu.ops.window_conv import build_win_graph
+            from unscene3d_tpu.ops.window_conv import (
+                SpillPlanExceeded,
+                build_win_graph,
+            )
             from unscene3d_tpu.ops.window_gather import (
                 build_win_tables,
                 up_tables_from_parents,
             )
+
+            def _rekey(exc: SpillPlanExceeded, kind: str, level: int):
+                """Re-raise with the pad-plan key + level so the trainer's
+                plan rebuild can apply the realized floor (VERDICT r4
+                next#2)."""
+                val = exc.needed.get("win_spill", exc.needed.get("win_spill_k"))
+                raise SpillPlanExceeded(
+                    f"level {level} {kind}: {exc}",
+                    needed={kind: {level: val}}) from exc
 
             # largest group <= win_group whose G*tile tiling divides the pad
             # (master pad plans may carry pads aligned only to 256)
             g = win_group
             while g > 1 and pads[li] % (win_tile * g):
                 g //= 2
-            lvl = lvl.replace(win=build_win_graph(
-                np.asarray(lvl.nbr_idx), pads[li],
-                w_sub=win_w_sub,     # int or per-region (W_own, W_dx);
-                #                      build_win_graph clamps to the pad
-                w_union=win_w_union + (g - 1) * win_tile,
-                # plan value is (compact table rows, per-tile slice len)
-                spill_plan=_win_spill_plan(win_spills[li])
-                if win_spills else None,
-                group=g, tile=win_tile,
-            ))
-            if li > 0:
-                lvl = lvl.replace(win_down=build_win_tables(
-                    np.asarray(lvl.child_idx), pads[li], pads[li - 1],
-                    spill_pad=(win_spills_down[li] or None)
-                    if win_spills_down else None,
+            try:
+                lvl = lvl.replace(win=build_win_graph(
+                    np.asarray(lvl.nbr_idx), pads[li],
+                    w_sub=win_w_sub,     # int or per-region (W_own, W_dx);
+                    #                      build_win_graph clamps to the pad
+                    w_union=win_w_union + (g - 1) * win_tile,
+                    # plan value is (compact table rows, per-tile slice len)
+                    spill_plan=_win_spill_plan(win_spills[li])
+                    if win_spills else None,
+                    group=g, tile=win_tile,
                 ))
+            except SpillPlanExceeded as e:
+                _rekey(e, "win_spill", li)
+            if li > 0:
+                try:
+                    lvl = lvl.replace(win_down=build_win_tables(
+                        np.asarray(lvl.child_idx), pads[li], pads[li - 1],
+                        spill_pad=(win_spills_down[li] or None)
+                        if win_spills_down else None,
+                    ))
+                except SpillPlanExceeded as e:
+                    _rekey(e, "win_spill_down", li)
             if li < num_levels - 1:
                 nv = len(level_coords[li])
                 vmask = np.zeros(pads[li], bool)
                 vmask[:nv] = True
-                lvl = lvl.replace(win_up=build_win_tables(
-                    up_tables_from_parents(
-                        np.asarray(lvl.parent_idx),
-                        np.asarray(lvl.parent_offset), vmask,
-                        pads[li + 1]),
-                    pads[li], pads[li + 1],
-                    spill_pad=(win_spills_up[li] or None)
-                    if win_spills_up else None,
-                ))
+                try:
+                    lvl = lvl.replace(win_up=build_win_tables(
+                        up_tables_from_parents(
+                            np.asarray(lvl.parent_idx),
+                            np.asarray(lvl.parent_offset), vmask,
+                            pads[li + 1]),
+                        pads[li], pads[li + 1],
+                        spill_pad=(win_spills_up[li] or None)
+                        if win_spills_up else None,
+                    ))
+                except SpillPlanExceeded as e:
+                    _rekey(e, "win_spill_up", li)
         if build_down_nbr_maps and li > 0:
             d_idx, d_valid = build_down_neighbor_map(lc, level_coords[li - 1])
             fill = pads[li - 1] - 1

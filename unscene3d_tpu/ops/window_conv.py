@@ -41,6 +41,23 @@ from flax import struct
 
 T = 256          # default out rows per grid step (see WinGraph.tile)
 
+
+class SpillPlanExceeded(AssertionError):
+    """A batch's realized spill tables outgrew the master pad plan.
+
+    Subclasses AssertionError so existing grow-and-recollate catches keep
+    working; carries the realized requirement so the plan rebuild can take
+    max(probe, realized) instead of re-probing blind (VERDICT r4 next#2:
+    spill counts are MAX statistics of a spiky distribution -- a fresh probe
+    can under-size again and crash training mid-epoch).
+
+    needed: dict of plan floors, e.g. {"win_spill": {2: (p_rows, q_len)}}
+    (level -> realized requirement; kind names match the pad-plan keys)."""
+
+    def __init__(self, msg: str, needed: dict | None = None):
+        super().__init__(msg)
+        self.needed = needed or {}
+
 # CI runs on CPU, where the conv router takes the XLA-reference branch and
 # the Pallas kernels never lower -- which is exactly how two round-3 kernel
 # bugs shipped green (ADVICE.md r3). pallas_interpret() forces the Pallas
@@ -60,6 +77,58 @@ def pallas_interpret():
 
 def interpret_active() -> bool:
     return _INTERPRET[-1]
+
+
+# Mosaic's default scoped-VMEM budget is 16M; v5e/v5p cores have 128M of
+# physical VMEM. The flagship f32 train step's 256-in-channel levels need
+# ~20M of scratch+temporaries (VERDICT r4 missing#1: batch-8 training never
+# compiled), so the kernels below SIZE THEMSELVES: estimate the footprint
+# from (WU, tile, group, cpad, cout, dtype), raise the limit when the
+# default would overflow, and fall back to the XLA formulation when even
+# the physical budget cannot fit.
+_VMEM_DEFAULT = 16 * 1024 * 1024
+_VMEM_CEILING = 100 * 1024 * 1024   # leave headroom under the 128M physical
+
+
+def _fwd_vmem_bytes(*, WU, WS, G, T, PACK, cpad, cout, itemsize, SQ,
+                    has_res, spill_rows) -> int:
+    """Upper-bound estimate of the forward kernel's VMEM footprint."""
+    scratch = 2 * (WU // PACK) * cpad * itemsize          # union double-buf
+    blocked = 2 * (G * T) * (26 * 2 + 1)                  # lidx + valid
+    blocked += 2 * (G * T) * cout * itemsize              # out window
+    if has_res:
+        blocked += 2 * (G * T) * cout * itemsize
+    resident = 27 * cpad * cout * itemsize                # weights
+    resident += 2 * 4 * cout                              # scale/shift
+    if SQ:
+        resident += spill_rows * (cout + 1) * 4           # spill table
+        scratch += T * cout * 4                           # acc_sc
+        # iotas (SQ,T) x2 int32 + one-hot + tab slice temporaries
+        resident += SQ * T * 12 + SQ * (cout + 1) * 4
+    # select temporaries: one-hot (T, W) + selected rows (T, cpad) f32 +
+    # acc/y (T, cout) f32; Mosaic keeps a couple of copies live
+    temp = 2 * T * (max(WS) // PACK) * 4 + 2 * T * cpad * 4 + 3 * T * cout * 4
+    return scratch + blocked + resident + temp
+
+
+def _dw_vmem_bytes(*, WU, WS, G, T, cpad, cout, itemsize) -> int:
+    scratch = 2 * WU * cpad * itemsize
+    out_acc = 26 * cpad * cout * 4                        # VMEM-resident dW
+    blocked = 2 * (G * T) * (26 * 2) + 2 * (G * T) * cout * itemsize
+    temp = 2 * T * max(WS) * 4 + 2 * T * cpad * 4 + T * cout * 4
+    return scratch + out_acc + blocked + temp
+
+
+def _vmem_params(est: int):
+    """CompilerParams raising the scoped-VMEM cap to fit `est` (with
+    margin), or None when the default 16M budget already fits."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    need = int(est * 1.25)
+    if need <= _VMEM_DEFAULT:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(need, 32 * 1024 * 1024), _VMEM_CEILING))
 
 
 @struct.dataclass
@@ -267,8 +336,10 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         spill_q, p8 = q_need, p_need
     else:
         p8, spill_q = int(spill_plan[0]), int(spill_plan[1])
-    assert spill_q >= q_need and p8 >= p_need, (
-        f"spill plan ({p8}, {spill_q}) < needed ({p_need}, {q_need})")
+    if spill_q < q_need or p8 < p_need:
+        raise SpillPlanExceeded(
+            f"spill plan ({p8}, {spill_q}) < needed ({p_need}, {q_need})",
+            needed={"win_spill": (p_need, q_need)})
     # the kernel slices [q0c, q0c + spill_q) with q0c clamped in-bounds;
     # tile t's own pairs sit at relative slots [qa, qb) inside the slice
     # (the slice may overlap neighboring tiles' segments, which the kernel
@@ -511,6 +582,21 @@ def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
         jax.lax.fori_loop(0, G, per_tile, 0)
 
 
+def _xla_dw(x, gy, wg: WinGraph, n_pad):
+    tile_of = jnp.arange(n_pad) // wg.tile
+    base = jnp.take(wg.r0, tile_of // wg.group)
+    dws = []
+    for ki in range(26):
+        k = ki if ki < 13 else ki + 1
+        li = wg.lidx[:, ki].astype(jnp.int32)
+        rows = base + jnp.take(wg.starts[:, k // 9], tile_of) + li
+        rows = jnp.where(li >= 0, rows, n_pad - 1)
+        gk = jnp.take(x, rows, axis=0) * (li >= 0)[:, None].astype(x.dtype)
+        dws.append(jnp.einsum("nc,nd->cd", gk.astype(jnp.float32),
+                              gy.astype(jnp.float32)))
+    return jnp.stack(dws)
+
+
 def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
                     ) -> jnp.ndarray:
     """Non-center dW blocks: (26, Cin, Cout) f32. gy must already be masked
@@ -521,18 +607,7 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
 
     if ((jax.default_backend() == "cpu" and not interpret_active())
             or fallback_active()):
-        tile_of = jnp.arange(n_pad) // wg.tile
-        base = jnp.take(wg.r0, tile_of // wg.group)
-        dws = []
-        for ki in range(26):
-            k = ki if ki < 13 else ki + 1
-            li = wg.lidx[:, ki].astype(jnp.int32)
-            rows = base + jnp.take(wg.starts[:, k // 9], tile_of) + li
-            rows = jnp.where(li >= 0, rows, n_pad - 1)
-            gk = jnp.take(x, rows, axis=0) * (li >= 0)[:, None].astype(x.dtype)
-            dws.append(jnp.einsum("nc,nd->cd", gk.astype(jnp.float32),
-                                  gy.astype(jnp.float32)))
-        return jnp.stack(dws)
+        return _xla_dw(x, gy, wg, n_pad)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -540,6 +615,10 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
     WU, G, Tt = wg.w_union, wg.group, wg.tile
     WS = wg.w_subs or (wg.w_sub,) * 3
     cpad = -(-cin // 128) * 128
+    est = _dw_vmem_bytes(WU=WU, WS=WS, G=G, T=Tt, cpad=cpad, cout=cout,
+                         itemsize=x.dtype.itemsize)
+    if est > _VMEM_CEILING:
+        return _xla_dw(x, gy, wg, n_pad)
     xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -567,6 +646,7 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((26, cpad, cout), jnp.float32),
         interpret=interpret_active(),
+        compiler_params=_vmem_params(est),
     )(wg.r0, wg.starts.reshape(-1), wg.lidx, xp, gy.astype(x.dtype))
     return out[:, :cin, :]
 
@@ -688,6 +768,20 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
         wp = (wk if cpad == cin
               else jnp.pad(wk, ((0, 0), (0, cpad - cin), (0, 0))))
 
+    est = _fwd_vmem_bytes(WU=WU, WS=WS, G=G, T=Tt, PACK=PACK, cpad=cpad,
+                          cout=cout, itemsize=x.dtype.itemsize, SQ=SQ,
+                          has_res=has_res,
+                          spill_rows=int(wg.num_spill_padded))
+    if est > _VMEM_CEILING:
+        # cannot fit even with the raised cap: take the XLA formulation
+        # (bias already folded into scale/shift above)
+        return _xla_reference(x, wk, wg, valid, None,
+                              None if scale is None
+                              else scale.astype(jnp.float32),
+                              None if shift is None
+                              else shift.astype(jnp.float32),
+                              residual, relu)
+
     in_specs = [
         pl.BlockSpec((G * Tt, 26), lambda t, *_: (t, 0),
                      memory_space=pltpu.VMEM),
@@ -740,6 +834,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, cout), x.dtype),
         interpret=interpret_active(),
+        compiler_params=_vmem_params(est),
     )(*prefetch, *args)
 
 

@@ -116,7 +116,12 @@ def build_win_tables(tables: np.ndarray, n_out_pad: int, n_in_pad: int,
     n_spill = sum(len(a) for a in sp_out)
     if spill_pad is None:
         spill_pad = bucket_size(n_spill, align=8, min_size=8) if n_spill else 0
-    assert spill_pad >= n_spill, f"spill bucket {spill_pad} < {n_spill}"
+    if spill_pad < n_spill:
+        from unscene3d_tpu.ops.window_conv import SpillPlanExceeded
+
+        raise SpillPlanExceeded(
+            f"spill bucket {spill_pad} < {n_spill}",
+            needed={"win_spill_k": n_spill})
     out = np.full(spill_pad, n_out_pad - 1, np.int32)
     inn = np.full(spill_pad, n_in_pad - 1, np.int32)
     kk = np.zeros(spill_pad, np.int32)
@@ -254,10 +259,23 @@ def window_k_apply(x: jnp.ndarray, w: jnp.ndarray | None, wt: WinTables,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from unscene3d_tpu.ops.window_conv import _VMEM_CEILING, _vmem_params
+
     K, W, WU = wt.num_offsets, wt.w_sub, wt.w_union
     cpad = -(-cin // 128) * 128
-    xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
     has_w = w is not None
+    # self-sizing VMEM (see window_conv._fwd_vmem_bytes): scratch + weights
+    # + blocked windows + select temporaries
+    itemsize = x.dtype.itemsize
+    est = (2 * WU * cpad * itemsize                       # union double-buf
+           + (8 * cpad * cout * itemsize if has_w else 0)  # weights
+           + 2 * T * (K * 2 + 1)                           # lidx + valid
+           + 2 * T * max(cout, cpad) * itemsize            # out window
+           + 2 * T * W * 4 + 2 * T * cpad * 4 + 2 * T * cout * 4)
+    if est > _VMEM_CEILING:
+        return _xla_reference(x, None if w is None else w.astype(x.dtype),
+                              wt, out_valid, n_out_pad)
+    xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
 
     in_specs = [
         pl.BlockSpec((T, K), lambda t, r, s: (t, 0), memory_space=pltpu.VMEM),
@@ -293,6 +311,7 @@ def window_k_apply(x: jnp.ndarray, w: jnp.ndarray | None, wt: WinTables,
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad, out_w), x.dtype),
+        compiler_params=_vmem_params(est),
     )(wt.r0, wt.starts.reshape(-1), *args)
     if not has_w and cpad != cin:
         out = out[:, :cin]

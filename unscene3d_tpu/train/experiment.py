@@ -360,6 +360,12 @@ class Experiment:
         # count master-plan rebuilds: each one costs a full recompile
         # (~10min on TPU), so surface it (VERDICT r1 weak #9)
         self.pad_rebuilds = 0
+        # realized spill-plan floors from SpillPlanExceeded overflows: the
+        # rebuilt plan takes max(fresh probe, realized need) so an unlucky
+        # augmentation draw grows the plan once instead of crashing again
+        # on the next draw (VERDICT r4 next#2)
+        self._spill_floors: dict = {"win_spill": {}, "win_spill_down": {},
+                                    "win_spill_up": {}}
         self.accum_steps = int(cfg.general.get("accumulate_grad_batches", 1))
         if self.accum_steps > 1 and self.mesh is not None:
             # ADVICE r1: silently ignoring accumulation on a mesh trains with
@@ -467,17 +473,34 @@ class Experiment:
                 realized = self.collator.pad_plan(b)
             else:
                 realized = merged
+            def grow_scalar(v):
+                return bucket_size(int(v * 2) + 64, align=8, min_size=8)
+
+            def with_floors(kind, entries, grow_fn):
+                """grow(probe) elementwise-maxed with grow(realized floor)."""
+                floors = self._spill_floors.get(kind, {})
+                out = []
+                for li, v in enumerate(entries):
+                    g = grow_fn(v)
+                    f = floors.get(li)
+                    if f is not None:
+                        gf = grow_fn(f)
+                        g = ([max(a, b) for a, b in zip(g, gf)]
+                             if isinstance(g, list) else max(g, gf))
+                    out.append(g)
+                return out
+
             self._master_pads = dict(
                 level_pads,
-                win_spill=[spill_grow(v)
-                           for v in realized.get("win_spill", [[0, 0]] * 5)],
-                win_spill_down=[bucket_size(int(v * 2) + 64, align=8,
-                                            min_size=8)
-                                for v in realized.get("win_spill_down",
-                                                      [0] * 5)],
-                win_spill_up=[bucket_size(int(v * 2) + 64, align=8,
-                                          min_size=8)
-                              for v in realized.get("win_spill_up", [0] * 5)],
+                win_spill=with_floors(
+                    "win_spill", realized.get("win_spill", [[0, 0]] * 5),
+                    spill_grow),
+                win_spill_down=with_floors(
+                    "win_spill_down",
+                    realized.get("win_spill_down", [0] * 5), grow_scalar),
+                win_spill_up=with_floors(
+                    "win_spill_up",
+                    realized.get("win_spill_up", [0] * 5), grow_scalar),
                 csr_pb=[([grow(b, align=256) for b in v]
                          if isinstance(v, (list, tuple)) else 0)
                         for v in realized.get("csr_pb",
@@ -488,7 +511,13 @@ class Experiment:
     def _example_batch(self):
         scenes = [self.train_dataset[i % len(self.train_dataset)]
                   for i in range(self.shard_scenes)]
-        return self.collator(scenes, pads=self._pads())[0]
+        for attempt in range(4):
+            try:
+                return self.collator(scenes, pads=self._pads())[0]
+            except AssertionError as e:
+                if attempt == 3:
+                    raise
+                self._note_pad_rebuild(e)
 
     def _draw_step_ids(self, sampler: "_EpochSampler") -> list[list[int]]:
         """Pre-draw one step's scene ids (list of shard/micro lists) so batch
@@ -511,27 +540,55 @@ class Experiment:
         shard_lists = [[self.train_dataset[i] for i in ids] for ids in step_ids]
         pads = pads or self._pads()
         single = self.mesh is None and self.accum_steps == 1
+        # a batch outgrowing the master plan rebuilds it with the realized
+        # floors ratcheted in, then collates under the NEW plan (one
+        # recompile; collating at natural sizes instead would add a second
+        # per-shape recompile for this batch). Bounded retries: each
+        # overflow can surface a different level's floor.
         if single:
+            for attempt in range(4):
+                try:
+                    batch, _ = self.collator(shard_lists[0], pads=pads)
+                    return batch
+                except AssertionError as e:
+                    if attempt == 3:
+                        raise
+                    self._note_pad_rebuild(e)
+                    pads = self._pads()
+        for attempt in range(4):
             try:
-                batch, _ = self.collator(shard_lists[0], pads=pads)
-            except AssertionError:
-                # a batch outgrew the master plan: rebuild it (one recompile)
-                self._note_pad_rebuild()
-                batch, _ = self.collator(shard_lists[0])
-            return batch
-        try:
-            shards, _ = self.collator.collate_shards(shard_lists, pads=pads)
-        except AssertionError:
-            self._note_pad_rebuild()
-            shards, _ = self.collator.collate_shards(shard_lists)
-        return stack_shards(shards)
+                shards, _ = self.collator.collate_shards(shard_lists,
+                                                         pads=pads)
+                return stack_shards(shards)
+            except AssertionError as e:
+                if attempt == 3:
+                    raise
+                self._note_pad_rebuild(e)
+                pads = self._pads()
 
-    def _note_pad_rebuild(self):
+    def _note_pad_rebuild(self, exc: Exception | None = None):
+        from unscene3d_tpu.ops.window_conv import SpillPlanExceeded
+
         with self._pads_lock:
+            if isinstance(exc, SpillPlanExceeded):
+                # ratchet the realized requirement into the next plan
+                for kind, per_level in exc.needed.items():
+                    floors = self._spill_floors.setdefault(kind, {})
+                    for li, need in per_level.items():
+                        prev = floors.get(li)
+                        if prev is None:
+                            floors[li] = need
+                        elif isinstance(need, (tuple, list)):
+                            floors[li] = tuple(
+                                max(a, b) for a, b in zip(prev, need))
+                        else:
+                            floors[li] = max(prev, need)
             self._master_pads = None
             self.pad_rebuilds += 1
         print(f"[exp] batch outgrew the master pad plan "
-              f"(rebuild #{self.pad_rebuilds}; expect one recompile)")
+              f"(rebuild #{self.pad_rebuilds}"
+              f"{f'; realized {exc.needed}' if isinstance(exc, SpillPlanExceeded) else ''}"
+              f"; expect one recompile)")
 
     def _train_batch(self, sampler: "_EpochSampler", pads=None):
         return self._train_batch_from(self._draw_step_ids(sampler), pads)
