@@ -1,83 +1,67 @@
-"""A/B: on-device auction LSAP vs scipy exact Hungarian (VERDICT r1 weak #7).
+"""A/B: on-device auction LSAP vs exact scipy Hungarian (VERDICT r4 weak#5).
 
-Samples cost matrices with the criterion's real structure (100 queries x K
-targets, cost = 2*class + 5*BCE + 2*dice) at three training stages —
-random-init (near-uniform costs), mid-training (partial structure), and
-near-converged (each target dominated by one query) — and reports:
+The matcher's auction solver is eps-optimal per cost matrix
+(tests/test_auction.py) but its end-to-end effect on a TRAINED model's AP
+was unquantified; the reference solves exactly
+(/root/reference/models/matcher.py:161-163). This trains the same tiny
+oracle config twice -- identical data, seeds, schedule -- differing ONLY in
+matcher.solver, and reports final val AP50/AP25 + loss for both.
 
-- exact assignment agreement rate,
-- total-cost regret of the auction solution vs the optimal,
-- the resulting matched-pair overlap (what the loss actually consumes).
-
-  python benchmarks/ab_matcher.py [--trials 50]
+Runs on CPU (scipy's pure_callback is host-only; the axon TPU runtime has
+no host callbacks): JAX_PLATFORMS=cpu python benchmarks/ab_matcher.py
 """
 
 from __future__ import annotations
 
-import argparse
 import json
+import os
 import sys
-from pathlib import Path
+import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax
 
+jax.config.update("jax_platforms", "cpu")
 
-def _stage_cost(rng, q=100, k=20, stage="init"):
-    """Cost matrices shaped like SetCriterion's (class + mask BCE + dice)."""
-    if stage == "init":
-        # untrained model: all queries look alike
-        return rng.rand(q, k) * 2.0 + rng.randn(q, k) * 0.05
-    if stage == "mid":
-        c = rng.rand(q, k) * 2.0
-        for j in range(k):
-            winners = rng.choice(q, 3, replace=False)
-            c[winners, j] -= rng.rand(3) * 1.5  # a few plausible queries
-        return c
-    # converged: one dominant query per target
-    c = rng.rand(q, k) * 2.0 + 2.0
-    for j in range(k):
-        c[rng.randint(q), j] = rng.rand() * 0.2
-    return c
+from benchmarks.self_train_trajectory import BASE_OVERRIDES, write_dataset
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--trials", type=int, default=50)
-    args = ap.parse_args()
+def train_once(root: str, out_root: str, solver: str, epochs: int):
+    from main_instance_segmentation import build_experiment, get_parameters
 
-    import jax.numpy as jnp
-    from scipy.optimize import linear_sum_assignment
-
-    from unscene3d_tpu.losses.matcher import solve_lsap_auction
-
-    rng = np.random.RandomState(0)
-    report = {}
-    for stage in ("init", "mid", "converged"):
-        agree, regret, pair_overlap = [], [], []
-        for t in range(args.trials):
-            k = int(rng.randint(3, 30))
-            c = _stage_cost(rng, 100, k, stage)
-            rows = np.asarray(solve_lsap_auction(jnp.asarray(c[None]))[0][:k])
-            r_opt, c_opt = linear_sum_assignment(c)
-            opt_cost = c[r_opt, c_opt].sum()
-            got_cost = c[rows, np.arange(k)].sum()
-            opt_rows = np.full(k, -1)
-            opt_rows[c_opt] = r_opt
-            agree.append(float((rows == opt_rows).mean()))
-            regret.append(float((got_cost - opt_cost) / max(abs(opt_cost), 1e-9)))
-            pair_overlap.append(float(np.isin(rows, opt_rows).mean()))
-        report[stage] = {
-            "assignment_agreement": round(float(np.mean(agree)), 4),
-            "cost_regret_mean": round(float(np.mean(regret)), 5),
-            "cost_regret_max": round(float(np.max(regret)), 5),
-        }
-        print(f"[{stage}] agree={np.mean(agree):.3f} "
-              f"regret mean={np.mean(regret):.4f} max={np.max(regret):.4f}",
-              file=sys.stderr)
-    print(json.dumps(report))
+    cfg = get_parameters(BASE_OVERRIDES + [
+        f"general.data_dir={root}",
+        f"general.save_dir={out_root}/{solver}",
+        f"general.experiment_name=ab_{solver}",
+        f"trainer.max_epochs={epochs}",
+        f"matcher.solver={solver}",
+    ])
+    exp = build_experiment(cfg)
+    assert exp.criterion.matcher.solver == solver
+    t0 = time.time()
+    state = exp.fit(max_epochs=epochs)
+    results = exp.evaluate(state, exp.validation_dataset, with_boxes=False)
+    return {
+        "solver": solver,
+        "ap50": float(results["all_ap_50%"]),
+        "ap": float(results["all_ap"]),
+        "ap25": float(results["all_ap_25%"]),
+        "train_seconds": round(time.time() - t0, 1),
+    }
 
 
 if __name__ == "__main__":
-    main()
+    from unscene3d_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    root = os.environ.get("AB_DATA", "/tmp/unscene3d_ab_matcher/data")
+    out = os.environ.get("AB_OUT", "/tmp/unscene3d_ab_matcher/runs")
+    epochs = int(os.environ.get("AB_EPOCHS", "30"))
+    if not os.path.exists(os.path.join(root, "train_database.yaml")):
+        # oracle masks on BOTH splits: the A/B isolates the matcher, not
+        # label noise
+        write_dataset(root, drop=0.0, erode=0.0)
+    rows = [train_once(root, out, s, epochs) for s in ("auction", "scipy")]
+    delta = rows[0]["ap50"] - rows[1]["ap50"]
+    print(json.dumps({"runs": rows, "ap50_auction_minus_scipy": round(delta, 4)}))

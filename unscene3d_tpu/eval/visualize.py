@@ -46,18 +46,31 @@ def save_scene_visualization(
     segments: np.ndarray | None = None,
     masks: np.ndarray | None = None,
     features: np.ndarray | None = None,
+    html: bool = True,
 ):
     os.makedirs(out_dir, exist_ok=True)
+    layers: dict[str, np.ndarray] = {}
     if colors is not None:
         c = colors if colors.max() > 1.5 else colors * 255
+        layers["rgb"] = c.astype(np.uint8)
         write_ply(os.path.join(out_dir, f"{scene_name}_rgb.ply"), coords,
                   c.astype(np.uint8))
     if segments is not None:
+        layers["segments"] = _id_colors(segments)
         write_ply(os.path.join(out_dir, f"{scene_name}_segments.ply"), coords,
                   _id_colors(segments))
     if masks is not None and masks.shape[1] > 0:
+        layers["instances"] = _instance_colors(masks)
         write_ply(os.path.join(out_dir, f"{scene_name}_instances.ply"), coords,
                   _instance_colors(masks))
     if features is not None:
+        layers["feature_pca"] = pca_colors(features)
         write_ply(os.path.join(out_dir, f"{scene_name}_pca.ply"), coords,
                   pca_colors(features))
+    if html and layers:
+        # browsable interactive scene (reference pyviz3d parity:
+        # trainer/trainer.py:197-357, unscene3d_pseudo_main.py:601-644)
+        from unscene3d_tpu.eval.html_viewer import save_scene_html
+
+        save_scene_html(os.path.join(out_dir, f"{scene_name}.html"),
+                        coords, layers)

@@ -101,7 +101,8 @@ class PseudoMaskPipeline:
 
     # -------------------------------------------------------------- pipeline
     def process_scenes(self, scenes: list[dict], save_dir: str | None = None,
-                       skip_existing: bool = True) -> dict:
+                       skip_existing: bool = True,
+                       save_visualizations: bool = False) -> dict:
         """scenes: dicts from ScanNetPseudoDataset (or synthetic equivalents).
         Returns {scene_name: (cloud, masks)}; saves npys when save_dir set."""
         if save_dir:
@@ -178,4 +179,17 @@ class PseudoMaskPipeline:
             if save_dir:
                 np.save(os.path.join(save_dir, f"{s['scene_name']}_cloud.npy"), cloud)
                 np.save(os.path.join(save_dir, f"{s['scene_name']}_masks.npy"), full_masks)
+                if save_visualizations:
+                    # browsable pseudo-mask scenes (reference pyviz3d export,
+                    # unscene3d_pseudo_main.py:601-644)
+                    from unscene3d_tpu.eval.visualize import (
+                        save_scene_visualization,
+                    )
+
+                    save_scene_visualization(
+                        os.path.join(save_dir, "visualizations"),
+                        s["scene_name"], cloud,
+                        colors=s.get("full_colors"),
+                        segments=seg_ids[match],
+                        masks=full_masks.astype(bool))
         return results
