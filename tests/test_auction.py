@@ -47,6 +47,29 @@ def test_auction_batched_shapes():
             assert len(set(out[i, j].tolist())) == 5
 
 
+def test_auction_padded_targets_exceed_queries():
+    # T padded past Q (the flagship train shape: Q=100 queries, T=256 padded
+    # targets): with the valid mask, padded targets never bid, the loop
+    # converges (far before the cap), valid targets match scipy's optimum on
+    # the valid sub-problem, and invalid targets come back -1
+    r = np.random.RandomState(3)
+    q, t, t_valid = 50, 128, 9
+    cost = np.full((q, t), 1e8, np.float32)
+    cost[:, :t_valid] = r.rand(q, t_valid) * 10
+    valid = np.zeros((t,), bool)
+    valid[:t_valid] = True
+    ours = np.asarray(
+        solve_lsap_auction(jnp.asarray(cost[None]), jnp.asarray(valid[None]))[0]
+    )
+    assert (ours[t_valid:] == -1).all()
+    head = ours[:t_valid]
+    assert (head >= 0).all() and len(set(head.tolist())) == t_valid
+    rows, cols = linear_sum_assignment(cost[:, :t_valid])
+    opt = cost[rows, cols].sum()
+    got = total_cost(cost[:, :t_valid], head)
+    assert got <= opt * 1.05 + 1e-6
+
+
 def test_auction_with_padding_costs():
     # padded targets carry a huge constant cost; all still get distinct queries
     r = np.random.RandomState(2)

@@ -72,3 +72,34 @@ def test_minkunet_and_resnet_forward():
     out2 = net.apply(v2, feats, g6, train=False)
     assert out2.shape == (g6.levels[5].num_padded, 4)
     assert bool(jnp.isfinite(out2).all())
+
+
+def test_remat_backbone_grads_match():
+    """remat=True must be a pure memory optimization: identical loss and
+    grads (to f32 reassociation noise) vs remat=False."""
+    from unscene3d_tpu.models.backbone import Res16UNet14A
+
+    coords = coords_set(n=600, extent=30, seed=7)
+    g = build_sparse_graph(coords, num_levels=5, build_down_nbr_maps=True)
+    feats = jnp.asarray(rng.randn(g.levels[0].num_padded, 3).astype(np.float32))
+
+    kw = dict(out_channels=4, init_dim=8,
+              planes=(8, 8, 16, 16, 16, 16, 8, 8))
+    net0 = Res16UNet14A(**kw, remat=False)
+    net1 = Res16UNet14A(**kw, remat=True)
+    v = net0.init(jax.random.PRNGKey(0), feats, g)
+
+    def loss(params, net):
+        out, _, _ = net.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            feats, g, train=True, mutable=["batch_stats"])[0]
+        return jnp.sum(out ** 2) / out.shape[0]
+
+    l0, g0 = jax.value_and_grad(loss)(v["params"], net0)
+    l1, g1 = jax.value_and_grad(loss)(v["params"], net1)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -208,6 +208,12 @@ def instantiate(node: dict, **kwargs):
             params[k] = instantiate(v)
         elif isinstance(v, list):
             params[k] = tuple(v) if all(isinstance(x, (int, float)) for x in v) else v
+        elif k == "dtype" and isinstance(v, str):
+            # YAML carries dtypes as strings ('bfloat16'); models expect a
+            # jnp dtype (mixed-precision training knob, conf/model/*.yaml)
+            import jax.numpy as jnp
+
+            params[k] = jnp.dtype(v).type
         else:
             params[k] = v
     params.update(kwargs)

@@ -309,6 +309,15 @@ class FreeMaskCollator:
             val_tbl = np.zeros((B, n_max), bool)
             for b in range(B):
                 rows = np.nonzero((bidx == b) & valid)[0]
+                if len(rows) > n_max:
+                    # ratchetable overflow (an augmentation redraw can grow a
+                    # scene's voxel count ~18% past the probe draw); a raw
+                    # broadcast ValueError here killed the train prefetcher
+                    from unscene3d_tpu.ops.window_conv import SpillPlanExceeded
+
+                    raise SpillPlanExceeded(
+                        f"scene rows {len(rows)} > plan {n_max} (level {lv})",
+                        needed={"scene_n": {lv: int(len(rows))}})
                 idx_tbl[b, : len(rows)] = rows
                 val_tbl[b, : len(rows)] = True
             scene_idx.append(idx_tbl)
@@ -332,6 +341,12 @@ class FreeMaskCollator:
         s_counts = [int(p["seg"].max()) + 1 if len(p["seg"]) else 0 for p in per_scene]
         s_max = (pads["s_max"] if pads else
                  bucket_size(max(s_counts) + 1, align=self.seg_align, min_size=self.seg_align))
+        if max(s_counts) >= s_max:
+            from unscene3d_tpu.ops.window_conv import SpillPlanExceeded
+
+            raise SpillPlanExceeded(
+                f"segments {max(s_counts)} >= plan {s_max}",
+                needed={"s_max": {0: int(max(s_counts)) + 1}})
         seg_valid = np.zeros((B, s_max), bool)
         for b, c in enumerate(s_counts):
             seg_valid[b, :c] = True
@@ -357,6 +372,12 @@ class FreeMaskCollator:
             for b, p in enumerate(per_scene):
                 off, n = scene_ranges[b]
                 k = p["masks"].shape[1]
+                if k > t_max:
+                    from unscene3d_tpu.ops.window_conv import SpillPlanExceeded
+
+                    raise SpillPlanExceeded(
+                        f"targets {k} > plan {t_max}",
+                        needed={"t_max": {0: int(k)}})
                 if p.get("mask_labels") is not None:
                     labels[b, :k] = p["mask_labels"]
                 else:

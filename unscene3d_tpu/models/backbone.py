@@ -29,10 +29,22 @@ class Res16UNetBase(nn.Module):
     init_dim: int = 32
     bn_momentum: float = 0.02
     dtype: Any = jnp.float32
+    # rematerialize residual blocks in the backward pass (jax.checkpoint):
+    # f32 activations at the fine levels pad 32 channels to 128 lanes (4x
+    # waste), so storing every conv's output OOMs a 16G-HBM chip at the
+    # flagship batch-8 workload; remat trades ~1/3 extra forward FLOPs for
+    # O(#blocks) fewer stored activations. No effect on eval.
+    remat: bool = False
 
     def _blocks(self, x, level, n, planes, name, train):
+        block_cls = BasicBlock
+        if self.remat and train:
+            # static_argnums counts self at 0 (flax lifted transform);
+            # prevent_cse stays True -- under plain jit XLA's CSE would
+            # otherwise undo the rematerialization
+            block_cls = nn.remat(BasicBlock, static_argnums=(3,))
         for bi in range(n):
-            x = BasicBlock(
+            x = block_cls(
                 planes, self.bn_momentum, dtype=self.dtype, name=f"{name}_{bi}"
             )(x, level, train)
         return x

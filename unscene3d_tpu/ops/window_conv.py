@@ -124,11 +124,17 @@ def _vmem_params(est: int):
     margin), or None when the default 16M budget already fits."""
     from jax.experimental.pallas import tpu as pltpu
 
-    need = int(est * 1.25)
+    # GENEROUS margin: the limit is a permission cap, not an allocation --
+    # Mosaic only uses what the kernel needs, so overshooting costs nothing
+    # while undershooting kills the whole compile. Measured worst case:
+    # est 31.6M vs actual scoped stack 41.86M (1.32x) on the f32 256->384
+    # dx kernel at T=256/G=8 (Mosaic pipelines the 26-offset select loop
+    # deeper than the 2-copy liveness model assumes).
+    need = int(est * 1.6)
     if need <= _VMEM_DEFAULT:
         return None
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(max(need, 32 * 1024 * 1024), _VMEM_CEILING))
+        vmem_limit_bytes=min(max(need, 48 * 1024 * 1024), _VMEM_CEILING))
 
 
 @struct.dataclass
@@ -617,7 +623,7 @@ def window_conv3_dw(x: jnp.ndarray, gy: jnp.ndarray, wg: WinGraph
     cpad = -(-cin // 128) * 128
     est = _dw_vmem_bytes(WU=WU, WS=WS, G=G, T=Tt, cpad=cpad, cout=cout,
                          itemsize=x.dtype.itemsize)
-    if est > _VMEM_CEILING:
+    if est * 1.6 > _VMEM_CEILING:  # same liveness margin as _vmem_params
         return _xla_dw(x, gy, wg, n_pad)
     xp = x if cpad == cin else jnp.pad(x, ((0, 0), (0, cpad - cin)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -772,7 +778,7 @@ def window_conv3_fwd(x: jnp.ndarray, w: jnp.ndarray, wg: WinGraph,
                           cout=cout, itemsize=x.dtype.itemsize, SQ=SQ,
                           has_res=has_res,
                           spill_rows=int(wg.num_spill_padded))
-    if est > _VMEM_CEILING:
+    if est * 1.6 > _VMEM_CEILING:  # same liveness margin as _vmem_params
         # cannot fit even with the raised cap: take the XLA formulation
         # (bias already folded into scale/shift above)
         return _xla_reference(x, wk, wg, valid, None,

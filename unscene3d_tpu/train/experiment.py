@@ -448,8 +448,31 @@ class Experiment:
                 # between two draws of the same scenes), so the headroom is
                 # deliberately generous; the tables are tiny (KBs)
                 p8, q = (v if isinstance(v, (list, tuple)) else (v, v))
-                return [bucket_size(int(p8 * 2) + 512, align=8, min_size=8),
-                        bucket_size(int(q * 2) + 64, align=8, min_size=8)]
+                # hard floors (1024 rows / 256 slice): the tail is so heavy
+                # (one draw put 88 spills in ONE tile while 4 probe redraws
+                # of the same scenes all drew <=8) that proportional headroom
+                # alone still loses, and every loss is a ~15min recompile;
+                # the kernel cost is per-SPILLED-tile only (pl.when-guarded)
+                # so generous static shapes are nearly free
+                return [bucket_size(max(int(p8 * 2) + 512, 1024),
+                                    align=8, min_size=8),
+                        bucket_size(max(int(q * 2) + 64, 256),
+                                    align=8, min_size=8)]
+
+            def floored(kind, li, g, grow_fn):
+                """Elementwise-max the grown probe value with the grown
+                ratcheted floor from past overflows (SpillPlanExceeded)."""
+                f = self._spill_floors.get(kind, {}).get(li)
+                return g if f is None else max(g, grow_fn(f))
+
+            def grow_scene(v):
+                # PER-SCENE row counts are max statistics: one redraw grew a
+                # scene +18% past the probe draw (total level rows, a sum
+                # over scenes, averages out and keeps the 15% headroom)
+                return bucket_size(int(v * 1.3) + 1, align=128) if v else 0
+
+            def grow_t(v):
+                return grow(v, align=8)
 
             level_pads = dict(
                 levels=[grow(v, align=win_align if li in win_levels
@@ -457,24 +480,39 @@ class Experiment:
                         for li, v in enumerate(merged["levels"])],
                 bricks=[(bucket_size(int(v * 1.15) + 1, align=8, min_size=8)
                          if v else 0) for v in merged["bricks"]],
-                scene_n=[grow(v) for v in merged["scene_n"]],
-                s_max=grow(merged["s_max"]),
-                t_max=grow(merged["t_max"]),
+                scene_n=[floored("scene_n", li, grow_scene(v), grow_scene)
+                         for li, v in enumerate(merged["scene_n"])],
+                s_max=floored("s_max", 0, grow(merged["s_max"]), grow),
+                # targets are a sublane dim ((L,B,T,S) criterion tensors,
+                # auction state): 8-align like the collator, not 128 --
+                # lane-aligning inflated T 256 vs a natural ~140
+                t_max=floored("t_max", 0, grow(merged["t_max"], align=8),
+                              grow_t),
                 n_pix=grow(merged["n_pix"]),
             )
             # spill / csr pair-bucket needs depend on the FINAL level pads
             # (a probe at natural sizes sees clamped whole-level windows and
-            # underestimates spills): re-collate one probe batch under the
-            # grown level pads with natural spill sizing, then add headroom
+            # underestimates spills): re-collate probe batches under the
+            # grown level pads with natural spill sizing, then add headroom.
+            # MULTIPLE augmentation redraws: spill needs are max-statistics
+            # the collator redraws every call (measured 80 vs 88 between two
+            # draws of the SAME scenes), so a single-draw probe guaranteed
+            # one SpillPlanExceeded rebuild -- a full recompile -- on nearly
+            # every fresh process
             if win_levels or csr_levels:
                 scenes = [self.train_dataset[i % len(self.train_dataset)]
                           for i in range(n)]
-                b, _ = self.collator(scenes, pads=level_pads)
-                realized = self.collator.pad_plan(b)
+                rplans = []
+                for _ in range(4):
+                    b, _ = self.collator(scenes, pads=level_pads)
+                    rplans.append(self.collator.pad_plan(b))
+                realized = self.collator.merge_pad_plans(rplans)
             else:
                 realized = merged
             def grow_scalar(v):
-                return bucket_size(int(v * 2) + 64, align=8, min_size=8)
+                # same heavy-tail floors as spill_grow (k2 down/up spills)
+                return bucket_size(max(int(v * 2) + 64, 512),
+                                   align=8, min_size=8)
 
             def with_floors(kind, entries, grow_fn):
                 """grow(probe) elementwise-maxed with grow(realized floor)."""
