@@ -256,11 +256,15 @@ def bench_train():
 
     win = os.environ.get("UNSCENE3D_BENCH_WIN", "[0,1,2,3,4]")
     batch = int(os.environ.get("UNSCENE3D_BENCH_TRAIN_BATCH", "8"))
+    # bf16 activations (f32 losses/BN stats/optimizer) -- the TPU-native
+    # mixed-precision recipe; f32 available via env for numerics A/Bs
+    dtype = os.environ.get("UNSCENE3D_BENCH_TRAIN_DTYPE", "bfloat16")
     cfg = get_parameters([
         "data/datasets=synthetic",
         f"data.batch_size={batch}",
         "data.voxel_size=0.02",
         f"data.win_levels={win}",
+        f"model.dtype={dtype}",
         "data.num_workers=2",
         f"data.datasets.train_dataset.num_scenes={batch}",
         "data.datasets.train_dataset.num_points=125000",
@@ -284,8 +288,8 @@ def bench_train():
         total = float(np.asarray(losses["total"]))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    print(f"[bench] train: batch={batch} x ~116k voxels win={win}, "
-          f"{dt*1e3:.0f} ms/step = {batch/dt:.2f} scenes/s "
+    print(f"[bench] train: batch={batch} x ~116k voxels win={win} "
+          f"dtype={dtype}, {dt*1e3:.0f} ms/step = {batch/dt:.2f} scenes/s "
           f"(baseline {BASELINE_TRAIN}), loss {total:.2f}",
           file=sys.stderr)
 
@@ -305,6 +309,7 @@ def bench_train():
         waits.append(time.perf_counter() - t0)
         if pending is not None:
             float(np.asarray(pending[1]["total"]))  # force completion
+            state = pending[0]  # the step donates its input state
         t0 = time.perf_counter()
         pending = step_fn(state, b, rng)
         steps.append(time.perf_counter() - t0)

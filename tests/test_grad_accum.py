@@ -34,8 +34,11 @@ def test_accumulated_step_matches_plain_on_same_batch():
     # two identical micro-batches: the averaged gradient equals the plain one
     # (max_sample_size=True makes the forward deterministic)
     stacked = stack_shards([batch, batch])
+    # both steps DONATE their input state (train/loop.py); give each its own
+    # copy so the second call doesn't read deleted buffers
+    state2 = jax.tree.map(lambda x: jnp.array(x), state)
     s_plain, l_plain = plain(state, batch, rng)
-    s_accum, l_accum = accum(state, stacked, rng)
+    s_accum, l_accum = accum(state2, stacked, rng)
     np.testing.assert_allclose(float(l_accum["total"]), float(l_plain["total"]),
                                rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s_accum.params), jax.tree.leaves(s_plain.params)):

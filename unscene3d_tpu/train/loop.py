@@ -157,8 +157,14 @@ class Trainer:
         """Single-device jit step (mesh=None) or shard_mapped DP step."""
         if self.mesh is None:
             if self._train_step is None:
+                # donate the state: params + AdamW moments (~0.5GB at the
+                # flagship width) update in place instead of live old+new
+                # copies. Callers must reassign (state, _ = step(state, ...)).
+                # The mesh path stays undonated: the multichip DP oracle
+                # (__graft_entry__.dryrun_multichip) re-reads the old state.
                 self._train_step = jax.jit(
-                    lambda s, b, r: self._step_core(s, b, r, None)
+                    lambda s, b, r: self._step_core(s, b, r, None),
+                    donate_argnums=(0,),
                 )
             return self._train_step
 
@@ -215,7 +221,7 @@ class Trainer:
             mean_losses = jax.tree.map(lambda x: x.mean(0), losses)
             return new_state, mean_losses
 
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0,))
 
     # -------------------------------------------------------------- eval step
     def build_eval_step(self) -> Callable:
