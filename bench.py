@@ -259,6 +259,10 @@ def bench_train():
     # bf16 activations (f32 losses/BN stats/optimizer) -- the TPU-native
     # mixed-precision recipe; f32 available via env for numerics A/Bs
     dtype = os.environ.get("UNSCENE3D_BENCH_TRAIN_DTYPE", "bfloat16")
+    # comma-separated extra hydra overrides for quick A/Bs
+    # (e.g. "model.backbone.remat=false")
+    extra = [o for o in os.environ.get(
+        "UNSCENE3D_BENCH_TRAIN_OVERRIDES", "").split(",") if o]
     cfg = get_parameters([
         "data/datasets=synthetic",
         f"data.batch_size={batch}",
@@ -273,7 +277,7 @@ def bench_train():
         "data.datasets.validation_dataset.num_scenes=1",
         "general.save_dir=/tmp/unscene3d_bench_train",
         "trainer.max_epochs=1",
-    ])
+    ] + extra)
     exp = build_experiment(cfg)
     batch_d = jax.tree.map(jax.device_put, exp._example_batch())
     state = exp.trainer.init_state(batch_d, seed=0)

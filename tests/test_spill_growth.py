@@ -103,6 +103,27 @@ def test_floors_ratchet_into_rebuilt_plan(tmp_path):
     assert exp.pad_rebuilds == 1
 
 
+def test_scene_and_target_overflows_ratchet(tmp_path):
+    """Per-scene row / segment / target-count overflows (raw broadcast
+    ValueErrors before r5) must raise ratchetable SpillPlanExceeded and be
+    absorbed by the rebuild loop."""
+    exp = _tiny_experiment(tmp_path)
+    exp._pads()
+    exp._master_pads = dict(exp._master_pads,
+                            scene_n=[64] * 5, s_max=64, t_max=8)
+    rng = np.random.RandomState(1)
+    from unscene3d_tpu.train.experiment import _EpochSampler
+
+    sampler = _EpochSampler(len(exp.train_dataset), rng)
+    for _ in range(6):
+        batch = exp._train_batch(sampler)
+        assert batch is not None
+    assert exp.pad_rebuilds >= 1
+    # the rebuilt plan carries the ratcheted floors
+    plan = exp._pads()
+    assert plan["scene_n"][0] > 64 and plan["t_max"] > 8
+
+
 def test_50_redraws_never_crash_and_growth_converges(tmp_path):
     """50 augmentation redraws of the same scenes under a probed plan: the
     retry loop must absorb any overflow by growing the plan; growth must

@@ -259,7 +259,19 @@ def _conv_down2_bwd(res, g):
     z = jnp.dot(gm, wt.transpose(1, 0, 2).reshape(w.shape[-1], 8 * cin),
                 preferred_element_type=jnp.float32)
     dx = _up_select(z, fine, cin) * fine.valid[:, None].astype(jnp.float32)
-    dw = _scan_weight_grad(x, gm, coarse.child_idx, coarse.child_valid)
+    # dW[k] = sum_{i: off(i)=k} x[i]^T gm[parent(i)] -- each fine voxel is its
+    # parent's unique offset-k child, so ONE parent gather + 8 masked GEMMs
+    # replaces 8 child gathers of the (larger) fine features (gathers are
+    # row-bound; measured 30ms -> ~4ms at the stride-2 stem level)
+    g_par = jnp.take(gm, fine.parent_idx, axis=0)
+    g_par = (g_par * fine.valid[:, None].astype(gm.dtype)).astype(jnp.float32)
+
+    def step(_, k):
+        sel = (fine.parent_offset == k) & fine.valid
+        xs = x.astype(jnp.float32) * sel[:, None].astype(jnp.float32)
+        return None, jnp.einsum("nc,nd->cd", xs, g_par)
+
+    _, dw = jax.lax.scan(step, None, jnp.arange(8))
     dbias = gm.astype(jnp.float32).sum(0).astype(bias.dtype) if bias is not None else None
     return dx.astype(x.dtype), dw.astype(w.dtype), dbias, None, None
 
@@ -313,10 +325,10 @@ def _conv_up2_fwd(x, w, bias, fine, coarse):
 def _conv_up2_bwd(res, g):
     x, w, bias, fine, coarse = res
     gm = (g * fine.valid[:, None].astype(g.dtype)).astype(x.dtype)
-    # dx[j] = sum_k gm[child_k(j)] @ W[k]^T : a k2s2 down-conv with W^T
-    dx = _scan_gather_gemm(gm, w.swapaxes(-1, -2).astype(w.dtype),
-                           coarse.child_idx, coarse.child_valid,
-                           coarse.num_padded, None, coarse.valid)
+    # dx[j] = sum_k gm[child_k(j)] @ W[k]^T : a k2s2 down-conv with W^T --
+    # route through _down2_primal so levels with window tables take the
+    # Pallas path (the 8-offset gather scan was ~50ms at the finest level)
+    dx = _down2_primal(gm, w.swapaxes(-1, -2).astype(w.dtype), None, coarse)
     # dW[k] = sum_{i: off(i)=k} x[parent(i)]^T gm[i]
     x_par = jnp.take(x, fine.parent_idx, axis=0)
     x_par = x_par * fine.valid[:, None].astype(x.dtype)
