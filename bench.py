@@ -298,30 +298,39 @@ def bench_train():
           file=sys.stderr)
 
     # steady-state feed: device step overlapped with prefetcher-fed collate
-    # (augmentation redraws make every batch real work)
-    sampler = _EpochSampler(len(exp.train_dataset), np.random.RandomState(0))
-    n_feed = 4
-    ids = [exp._draw_step_ids(sampler) for _ in range(n_feed)]
-    pf = Prefetcher(lambda i: exp._train_batch_from(ids[i]), n_feed,
-                    num_workers=2)
-    waits, steps = [], []
-    it = iter(pf)
-    pending = None
-    for i in range(n_feed):
-        t0 = time.perf_counter()
-        b = next(it)
-        waits.append(time.perf_counter() - t0)
-        if pending is not None:
-            float(np.asarray(pending[1]["total"]))  # force completion
-            state = pending[0]  # the step donates its input state
-        t0 = time.perf_counter()
-        pending = step_fn(state, b, rng)
-        steps.append(time.perf_counter() - t0)
-    float(np.asarray(pending[1]["total"]))
-    host_wait_ms = float(np.median(waits[1:])) * 1e3
-    print(f"[bench] train feed: host_wait {host_wait_ms:.0f}ms/step "
-          f"(dispatch {np.median(steps)*1e3:.0f}ms; 1-core dev host -- "
-          f"collate parallelism is capped at 1)", file=sys.stderr)
+    # (augmentation redraws make every batch real work). Contained: a feed
+    # failure (e.g. HBM exhaustion from redraw-grown shapes on a 16G chip)
+    # must not take the measured step time down with it.
+    del batch_d, losses  # free the measurement batch's HBM before feeding
+    host_wait_ms = -1.0
+    try:
+        sampler = _EpochSampler(len(exp.train_dataset),
+                                np.random.RandomState(0))
+        n_feed = 4
+        ids = [exp._draw_step_ids(sampler) for _ in range(n_feed)]
+        pf = Prefetcher(lambda i: exp._train_batch_from(ids[i]), n_feed,
+                        num_workers=2)
+        waits, steps = [], []
+        it = iter(pf)
+        pending = None
+        for i in range(n_feed):
+            t0 = time.perf_counter()
+            b = next(it)
+            waits.append(time.perf_counter() - t0)
+            if pending is not None:
+                float(np.asarray(pending[1]["total"]))  # force completion
+                state = pending[0]  # the step donates its input state
+            t0 = time.perf_counter()
+            pending = step_fn(state, b, rng)
+            steps.append(time.perf_counter() - t0)
+        float(np.asarray(pending[1]["total"]))
+        host_wait_ms = float(np.median(waits[1:])) * 1e3
+        print(f"[bench] train feed: host_wait {host_wait_ms:.0f}ms/step "
+              f"(dispatch {np.median(steps)*1e3:.0f}ms; 1-core dev host -- "
+              f"collate parallelism is capped at 1)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] train feed phase failed ({type(e).__name__}); "
+              f"keeping the measured step time", file=sys.stderr)
     return {"t": dt / batch, "batch": batch, "host_wait_ms": host_wait_ms}
 
 

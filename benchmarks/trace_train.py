@@ -21,7 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from trace_fwd import parse_trace  # noqa: E402
 
 
-def run_and_trace(batch: int, out_dir: str, reps: int = 3, win: str = "[]"):
+def run_and_trace(batch: int, out_dir: str, reps: int = 3, win: str = "[]",
+                  dtype: str = "float32"):
     import jax
 
     from main_instance_segmentation import build_experiment, get_parameters
@@ -33,6 +34,7 @@ def run_and_trace(batch: int, out_dir: str, reps: int = 3, win: str = "[]"):
         f"data.batch_size={batch}",
         "data.voxel_size=0.02",
         f"data.win_levels={win}",
+        f"model.dtype={dtype}",
         "data.num_workers=0",
         f"data.datasets.train_dataset.num_scenes={batch}",
         "data.datasets.train_dataset.num_points=125000",
@@ -65,9 +67,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--win", default="[]",
                     help="data.win_levels, e.g. [0,1,2,3,4]")
+    ap.add_argument("--dtype", default="float32")
     ap.add_argument("--out", default="/tmp/jaxtrace_train")
     args = ap.parse_args()
-    run_and_trace(args.batch, args.out, win=args.win)
+    run_and_trace(args.batch, args.out, win=args.win, dtype=args.dtype)
     parse_trace(args.out)
 
 

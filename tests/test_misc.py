@@ -76,8 +76,11 @@ def test_visualization_export(tmp_path):
         features=np.random.rand(100, 16).astype(np.float32),
     )
     names = sorted(os.listdir(tmp_path))
-    assert names == ["s0_instances.ply", "s0_pca.ply", "s0_rgb.ply",
-                     "s0_segments.ply"]
+    # PLY layers + the self-contained interactive WebGL viewer (r5)
+    assert names == ["s0.html", "s0_instances.ply", "s0_pca.ply",
+                     "s0_rgb.ply", "s0_segments.ply"]
+    html = (tmp_path / "s0.html").read_text()
+    assert "<canvas" in html and "instances" in html
 
 
 def test_whiten_and_l2():
