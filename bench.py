@@ -285,13 +285,18 @@ def bench_train():
     rng = jax.random.PRNGKey(0)
     state, losses = step_fn(state, batch_d, rng)
     total = float(np.asarray(losses["total"]))  # compile + 1st step
-    times = []
-    for _ in range(6):
-        t0 = time.perf_counter()
+    state, losses = step_fn(state, batch_d, rng)
+    total = float(np.asarray(losses["total"]))  # warm sync
+    # PIPELINED steady state: dispatch all reps back-to-back (state threads
+    # through donation) and force once at the end -- training never syncs
+    # per step, and the dev tunnel's per-call dispatch+fetch round trip
+    # (~0.6s) would otherwise serialize into every step
+    reps = 6
+    t0 = time.perf_counter()
+    for _ in range(reps):
         state, losses = step_fn(state, batch_d, rng)
-        total = float(np.asarray(losses["total"]))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    total = float(np.asarray(losses["total"]))
+    dt = (time.perf_counter() - t0) / reps
     print(f"[bench] train: batch={batch} x ~116k voxels win={win} "
           f"dtype={dtype}, {dt*1e3:.0f} ms/step = {batch/dt:.2f} scenes/s "
           f"(baseline {BASELINE_TRAIN}), loss {total:.2f}",

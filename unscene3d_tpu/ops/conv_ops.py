@@ -253,12 +253,10 @@ def _conv_down2_fwd(x, w, bias, coarse, fine):
 def _conv_down2_bwd(res, g):
     x, w, bias, coarse, fine = res
     gm = (g * coarse.valid[:, None].astype(g.dtype)).astype(x.dtype)
-    cin = x.shape[-1]
-    # dx[i] = gm[parent(i)] @ W[off(i)]^T : one GEMM + (parent, offset) gather
-    wt = w.swapaxes(-1, -2)  # (8, Cout, Cin)
-    z = jnp.dot(gm, wt.transpose(1, 0, 2).reshape(w.shape[-1], 8 * cin),
-                preferred_element_type=jnp.float32)
-    dx = _up_select(z, fine, cin) * fine.valid[:, None].astype(jnp.float32)
+    # dx[i] = gm[parent(i)] @ W[off(i)]^T : exactly an up2 conv with W^T,
+    # so _up2_primal's window path (fine.win_up) replaces the fine-level
+    # row gather where tables exist
+    dx = _up2_primal(gm, w.swapaxes(-1, -2).astype(w.dtype), None, fine)
     # dW[k] = sum_{i: off(i)=k} x[i]^T gm[parent(i)] -- each fine voxel is its
     # parent's unique offset-k child, so ONE parent gather + 8 masked GEMMs
     # replaces 8 child gathers of the (larger) fine features (gathers are
