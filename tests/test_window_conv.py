@@ -386,6 +386,50 @@ def test_interpret_dw_matches_fallback(small_coords):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("cin,cout,spill,group", [
+    (48, 16, False, 1),
+    (48, 16, True, 1),    # spill: exercises the mirror-orientation dW term
+    (8, 24, True, 2),     # narrow-in + grouped fori_loop accumulation
+])
+def test_interpret_bwd_fused_matches_oracle(small_coords, cin, cout, spill,
+                                            group):
+    """Fused dx+dW backward kernel vs the autodiff oracle.
+
+    The fused kernel computes dW from MIRROR-oriented gm selects
+    (dW[26-k] += x^T @ select_k(gm)), so a pair spilled at k whose mirror is
+    tabled at 26-k would be double-counted (and mirror-spilled pairs missed)
+    unless the spill correction flips orientation -- the spill=True cases
+    fail loudly if either branch of that partition is wrong."""
+    from unscene3d_tpu.ops.window_conv import window_conv3_bwd_fused
+
+    n_pad = 1024
+    nbr, valid = _pad_graph(small_coords, n_pad)
+    wg = build_win_graph(nbr, n_pad, w_sub=256 if spill else 384,
+                         w_union=512 if spill else 768, group=group)
+    if spill:
+        assert int(wg.num_spill_padded) > 0
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(n_pad, cin), jnp.float32)
+    x = x * valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(n_pad, cout), jnp.float32)
+
+    def f(x, w):
+        return (window_conv3(x, w, wg, valid) * g).sum()
+
+    # CPU reference: custom-VJP unfused path (itself oracle-tested above)
+    gx_r, gw_r = jax.grad(f, argnums=(0, 1))(x, w)
+    gm = (g * valid[:, None].astype(g.dtype)).astype(x.dtype)
+    with pallas_interpret():
+        out = window_conv3_bwd_fused(x, gm, w, wg, valid)
+    assert out is not None
+    dx, dw = out
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(gx_r),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(gw_r),
+                               rtol=2e-3, atol=2e-3)
+
+
 # ------------------------------------------------- K-offset window tables
 def test_window_k2_down_up_pool():
     """Windowed k2s2 down conv / transposed conv / avg-pool equal the gather

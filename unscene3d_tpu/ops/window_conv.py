@@ -588,6 +588,244 @@ def _dw_kernel(r0_ref, starts_ref, lidx_ref, x_any, gy_ref, o_ref,
         jax.lax.fori_loop(0, G, per_tile, 0)
 
 
+def _bwd_fused_vmem_bytes(*, WU, WS, G, T, cpadg, cpad_in, cin, itemsize,
+                          SQ, spill_rows) -> int:
+    """Upper-bound estimate of the fused-backward kernel's VMEM footprint."""
+    scratch = 2 * WU * cpadg * itemsize                   # gm union double-buf
+    dw_acc = 27 * cpad_in * cpadg * 4                     # VMEM-resident dW
+    blocked = 2 * (G * T) * (26 * 2 + 1)                  # lidx + valid
+    blocked += 2 * (G * T) * cpad_in * itemsize           # x in window
+    blocked += 2 * (G * T) * cin * itemsize               # dx out window
+    resident = 27 * cpadg * cin * itemsize                # flipped weights
+    if SQ:
+        resident += spill_rows * (cin + 1) * 4            # dx spill table
+        scratch += T * cin * 4                            # acc_sc
+        resident += SQ * T * 12 + SQ * (cin + 1) * 4
+    temp = (2 * T * max(WS) * 4 + 2 * T * cpadg * 4
+            + 3 * T * max(cin, cpadg) * 4)
+    return scratch + dw_acc + blocked + resident + temp
+
+
+def _bwd_fused_kernel(*refs, T, WS, WU, G, SQ, cin, out_dtype):
+    """Fused dx+dW backward: ONE gm union-window DMA and ONE one-hot select
+    per offset feed BOTH gradients (the dx pass and the dW pass previously
+    each paid their own window stream and 26 selects -- the dominant VPU
+    cost, docs/DESIGN.md round-5 record).
+
+    Identities (k3 stride-1 pair set is closed under the mirror
+    (o, i, k) -> (i, o, 26-k)):
+      dx[i]   = sum_k select_k(gm)[i] @ w[26-k]^T      (existing dx path)
+      dW[26-k] = sum_tiles x_tile^T @ select_k(gm)_tile (NEW: the mirror of
+                 a pair tabled at offset k is a forward pair at 26-k, so the
+                 same select covers dW's mirror block; pairs whose MIRROR
+                 spilled are added by the caller from the spill table with
+                 flipped orientation)
+    Center (k=13) is its own mirror: dW[13] += x_tile^T @ gm_center in-kernel
+    (replaces the caller's XLA einsum over the full arrays)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q0_ref = qn_ref = tab_ref = None
+    if SQ:
+        r0_ref, starts_ref, q0_ref, qn_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        r0_ref, starts_ref = refs[:2]
+        rest = refs[2:]
+    lidx_ref, gm_any, w_ref, x_ref = rest[:4]
+    i = 4
+    if SQ:
+        tab_ref = rest[i]
+        i += 1
+    valid_ref = rest[i]
+    dx_ref, dw_ref = rest[i + 1], rest[i + 2]
+    scratch, sems = rest[i + 3], rest[i + 4]
+    acc_sc = rest[i + 5] if SQ else None
+
+    t = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    def dma(slot, tt):
+        r0 = pl.multiple_of(r0_ref[tt], 8)
+        return pltpu.make_async_copy(
+            gm_any.at[pl.ds(r0, WU)], scratch.at[slot], sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(t + 1 < n_steps)
+    def _():
+        dma((t + 1) % 2, t + 1).start()
+
+    dma(t % 2, t).wait()
+    slot = t % 2
+    iotas = [jax.lax.broadcasted_iota(jnp.int32, (T, w), 1) for w in WS]
+
+    def per_tile(g, _):
+        gT = pl.multiple_of(g * T, T)
+        x_t = x_ref[pl.ds(gT, T), :]
+        subs = []
+        for r in range(3):
+            u = pl.multiple_of(starts_ref[(t * G + g) * 3 + r], 8)
+            subs.append(scratch.at[slot][pl.ds(u, WS[r]), :])
+
+        def select(li, reg):
+            sub = subs[reg]
+            onehot = (li == iotas[reg]).astype(sub.dtype)
+            sel = jnp.dot(onehot, sub, preferred_element_type=jnp.float32)
+            return sel.astype(sub.dtype)
+
+        c0 = pl.multiple_of(
+            (t * G + g) * T - pl.multiple_of(r0_ref[t], 8), 8)
+        xc = scratch.at[slot][pl.ds(c0, T), :]
+        acc = jnp.dot(xc, w_ref[13], preferred_element_type=jnp.float32)
+        dw_ref[13] = dw_ref[13] + jax.lax.dot_general(
+            x_t, xc[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for ki in range(26):
+            k = ki if ki < 13 else ki + 1
+            li = lidx_ref[pl.ds(gT, T), ki:ki + 1].astype(jnp.int32)
+            S = select(li, k // 9)
+            acc = acc + jnp.dot(S, w_ref[k],
+                                preferred_element_type=jnp.float32)
+            dw_ref[26 - k] = dw_ref[26 - k] + jax.lax.dot_general(
+                x_t, S, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if SQ:
+            # dx spill inject, identical to the forward kernel's (per-pair
+            # gm[in] @ flipW[k] values in a compact tile-sorted table)
+            ti = t * G + g
+            acc_sc[:] = acc
+
+            @pl.when(qn_ref[2 * ti + 1] > 0)
+            def _():
+                q0 = pl.multiple_of(q0_ref[ti], 8)
+                tab = tab_ref[pl.ds(q0, SQ), :]              # (SQ, cin+1)
+                spv = tab[:, 0:cin]
+                rows = tab[:, cin:cin + 1]
+                iq = jax.lax.broadcasted_iota(jnp.int32, (SQ, T), 0)
+                it = jax.lax.broadcasted_iota(jnp.int32, (SQ, T), 1)
+                inseg = ((iq >= qn_ref[2 * ti]) &
+                         (iq < qn_ref[2 * ti + 1]))
+                ohT = jnp.where(inseg & (rows.astype(jnp.int32) == it),
+                                1.0, 0.0)
+                inj = jax.lax.dot_general(
+                    ohT, spv, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # (T, cin)
+                acc_sc[:] = acc_sc[:] + inj
+
+            acc = acc_sc[:]
+        y = acc * valid_ref[pl.ds(gT, T), 0][:, None].astype(jnp.float32)
+        dx_ref[pl.ds(gT, T), :] = y.astype(out_dtype)
+        return 0
+
+    if G == 1:
+        per_tile(0, 0)
+    else:
+        jax.lax.fori_loop(0, G, per_tile, 0)
+
+
+def window_conv3_bwd_fused(x: jnp.ndarray, gm: jnp.ndarray, w: jnp.ndarray,
+                           wg: WinGraph, valid: jnp.ndarray):
+    """Fused backward: returns (dx (N_pad, Cin), dW (27, Cin, Cout) f32)
+    INCLUDING all spill corrections, or None when the kernel is not
+    applicable (CPU / fallback / VMEM overflow). gm must already be masked
+    to valid rows."""
+    n_pad, cin = x.shape
+    cout = gm.shape[-1]
+    from unscene3d_tpu.ops.csr_conv import fallback_active
+
+    if ((jax.default_backend() == "cpu" and not interpret_active())
+            or fallback_active()):
+        return None
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    WU, G, Tt = wg.w_union, wg.group, wg.tile
+    WS = wg.w_subs or (wg.w_sub,) * 3
+    SQ = int(wg.spill_q)
+    wf = _flip_transpose(w).astype(x.dtype)                  # (27, cout, cin)
+    cpadg = -(-cout // 128) * 128
+    cpad_in = -(-cin // 128) * 128
+    est = _bwd_fused_vmem_bytes(WU=WU, WS=WS, G=G, T=Tt, cpadg=cpadg,
+                                cpad_in=cpad_in, cin=cin,
+                                itemsize=x.dtype.itemsize, SQ=SQ,
+                                spill_rows=int(wg.num_spill_padded))
+    if est * 1.6 > _VMEM_CEILING:
+        return None
+    gmp = (gm if cpadg == cout
+           else jnp.pad(gm, ((0, 0), (0, cpadg - cout)))).astype(x.dtype)
+    wfp = wf if cpadg == cout else jnp.pad(
+        wf, ((0, 0), (0, cpadg - cout), (0, 0)))
+    xp = x if cpad_in == cin else jnp.pad(x, ((0, 0), (0, cpad_in - cin)))
+
+    in_specs = [
+        pl.BlockSpec((G * Tt, 26), lambda t, *_: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((G * Tt, cpad_in), lambda t, *_: (t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wg.lidx, gmp, wfp, xp]
+    if SQ:
+        spv = _spill_values(gm, wf.astype(jnp.float32), wg, cin)
+        rows_f = wg.spill_rows.astype(jnp.float32)[:, None]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.concatenate([spv, rows_f], axis=1))
+    in_specs.append(pl.BlockSpec((G * Tt, 1), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(valid.astype(jnp.int8)[:, None])
+
+    scratch_shapes = [
+        pltpu.VMEM((2, WU, cpadg), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    prefetch = [wg.r0, wg.starts.reshape(-1)]
+    if SQ:
+        prefetch += [wg.sp_q0, wg.sp_qn.reshape(-1)]
+        scratch_shapes.append(pltpu.VMEM((Tt, cin), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(prefetch),
+        grid=(n_pad // (G * Tt),),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((G * Tt, cin), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, cpad_in, cpadg), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch_shapes,
+    )
+    kernel = functools.partial(
+        _bwd_fused_kernel, T=Tt, WS=WS, WU=WU, G=G, SQ=SQ, cin=cin,
+        out_dtype=x.dtype)
+    dx, dw = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, cin), x.dtype),
+                   jax.ShapeDtypeStruct((27, cpad_in, cpadg), jnp.float32)],
+        interpret=interpret_active(),
+        compiler_params=_vmem_params(est),
+    )(*prefetch, *args)
+    dw = dw[:, :cin, :cout]
+    # Pairs MISSED by the in-kernel dW: a forward pair (o, n, k) is covered
+    # iff its mirror (n, o, 26-k) is tabled; missed iff the mirror spilled.
+    # Spill entry e = (out, in, k_e) therefore stands for the missed pair
+    # (out=e.in, in=e.out, 26-e.k), contributing x[e.out] (x) gm[e.in] to
+    # dW[26-e.k] -- the ORIENTATION-FLIPPED version of the unfused path's
+    # spill term. Sentinel entries read the zero padding row.
+    if int(wg.num_spill_padded) > 0:
+        xs = jnp.take(x, wg.spill_out, axis=0).astype(jnp.float32)
+        gs = jnp.take(gm, wg.spill_in, axis=0).astype(jnp.float32)
+        onek = jax.nn.one_hot(26 - wg.spill_k, 27, dtype=jnp.float32)
+        dw = dw + jnp.einsum("pk,pc,pd->kcd", onek, xs, gs)
+    return dx, dw
+
+
 def _xla_dw(x, gy, wg: WinGraph, n_pad):
     tile_of = jnp.arange(n_pad) // wg.tile
     base = jnp.take(wg.r0, tile_of // wg.group)
@@ -857,9 +1095,19 @@ def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(w, axis=0).swapaxes(-1, -2)
 
 
+import os as _os
+
+_FUSED_BWD = _os.environ.get("UNSCENE3D_FUSED_BWD", "1") != "0"
+
+
 def _win_bwd(res, g):
     x, w, wg, valid = res
     gm = (g * valid[:, None].astype(g.dtype)).astype(x.dtype)
+    if _FUSED_BWD:
+        fused = window_conv3_bwd_fused(x, gm, w, wg, valid)
+        if fused is not None:
+            dx, dw = fused
+            return dx.astype(x.dtype), dw.astype(w.dtype), None, None
     # dx: same tables, flip-transposed weights (offset symmetry: the
     # transpose map of offset k is the map of offset 26-k)
     dx = window_conv3_fwd(gm, _flip_transpose(w).astype(w.dtype), wg, valid)
