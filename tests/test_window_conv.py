@@ -430,6 +430,42 @@ def test_interpret_bwd_fused_matches_oracle(small_coords, cin, cout, spill,
                                rtol=2e-3, atol=2e-3)
 
 
+def test_group_clamped_to_center_containment(small_coords):
+    """group*tile > w_union must DEGRADE group, never build: the kernels
+    stream the center offset from the union scratch at tile_start - r0, so
+    a supertile wider than the union reads past the DMA'd window (found on
+    hardware as NaN dW / silently-wrong dx, benchmarks/tpu_fused_bwd_check
+    'spilly' case before the clamp)."""
+    n_pad = 1024
+    nbr, valid = _pad_graph(small_coords, n_pad)
+    # request group=4 at tile=256 under a 768-row union: 4*256 > 768
+    wg = build_win_graph(nbr, n_pad, w_sub=256, w_union=768,
+                         group=4, tile=256)
+    assert wg.group * wg.tile <= wg.w_union
+    assert wg.group == 2  # largest halving that fits
+    # and the clamped graph is numerically correct end-to-end
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(n_pad, 16), jnp.float32)
+    x = x * valid[:, None].astype(x.dtype)
+    w = jnp.asarray(rng.randn(27, 16, 16) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(n_pad, 16), jnp.float32)
+
+    def f(x, w):
+        return (window_conv3(x, w, wg, valid) * g).sum()
+
+    gx_r, gw_r = jax.grad(f, argnums=(0, 1))(x, w)
+    from unscene3d_tpu.ops.window_conv import window_conv3_bwd_fused
+    gm = (g * valid[:, None].astype(g.dtype)).astype(x.dtype)
+    with pallas_interpret():
+        out = window_conv3_bwd_fused(x, gm, w, wg, valid)
+    assert out is not None
+    dx, dw = out
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(gx_r),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(gw_r),
+                               rtol=2e-3, atol=2e-3)
+
+
 # ------------------------------------------------- K-offset window tables
 def test_window_k2_down_up_pool():
     """Windowed k2s2 down conv / transposed conv / avg-pool equal the gather

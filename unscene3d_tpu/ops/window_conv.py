@@ -228,6 +228,18 @@ def build_win_graph(nbr_idx: np.ndarray, n_pad: int, w_sub: int = 384,
         w = min(int(w_sub), n_pad)
         w_reg = (w, w, w)
     w_union = min(int(w_union), n_pad)
+    # center containment: every supertile's own G*tile rows must sit inside
+    # its union window (the kernels stream the center offset from the union
+    # scratch at row tile_start - r0, and the r0 clip below assumes
+    # send - w_union <= sstart). group*tile > w_union would make those
+    # center reads run PAST the DMA'd window -- silently wrong forward/dx
+    # (deterministic wrong rows) and NaN dW from uninitialized VMEM.
+    # Grouping is purely a DMA-amortization knob, so degrade it instead of
+    # corrupting; production plans (ops/kernel_maps.py) already add
+    # (g-1)*tile to w_union and never trip this.
+    while group > 1 and group * tile > w_union:
+        group //= 2
+    assert group * tile <= w_union, (group, tile, w_union)
     assert n_pad % (tile * group) == 0 and n_pad >= w_union >= max(w_reg)
     # r0 and the region starts are 32-aligned so the PACKED kernel path
     # (4 rows folded into 128 lanes for narrow-channel convs) can slice at
